@@ -1,0 +1,235 @@
+"""DR-NMF: deep recurrent NMF by unfolding iterative soft-thresholding.
+
+TPU-native reimplementation of the reference's model stack:
+
+* the ``SimpleDeepRNN`` recurrent cell (reference custom_layers.py:104-412),
+  whose step runs a K-layer-deep unfolded-ISTA stack,
+* the SNMF->RNN "alternate parameter" reparameterization ``build_alt``
+  (reference enhance.py:139-206),
+* the ``DenseNonNegW`` exp-kernel reconstruction heads and the numerically
+  stable A/(A+B) Wiener-style ratio-mask merge
+  (reference custom_layers.py:15-56, enhance.py:209-317).
+
+Architecture (per timestep t, previous top-layer state h_{t-1}):
+
+    layer k:  pre_k = h_{t-1} @ U_k  (+ hidden_{k-1} @ S_k for k>0)  + x_t @ W_k
+              hidden_k = relu(pre_k + b_k)
+    with  U_1 = exp(log_U1)^T (~= I at init),  U_{k>1} = exp(log_Uk)^T (~= 0),
+          S_k = (I - Dhat_k^T Dhat_k / alph_k)^T,   W_k = Dhat_k / alph_k,
+          b_k = -lam1_k / alph_k,
+          Dhat = column-L2-normalized exp(log_D)
+
+i.e. one warm-started ISTA pass ``h <- max(0, h + Dhat^T (x - Dhat h)/alph -
+lam1/alph)`` unrolled K deep (cf. reference ista_ed, enhance.py:402-418).
+
+TPU-first design:
+
+* Parameters are a flat dict pytree of *alternate* (log-domain) tensors; the
+  effective per-layer matrices are materialized ONCE per forward pass
+  (outside the time scan) and the time recurrence is a single ``lax.scan`` --
+  arbitrary sequence length without graph rebuilds (the reference had to
+  rebuild its Theano graph per maxseq, enhance.py:1185).
+* Batch-major (B, T, F) inputs; the scan carries an (B, 2r) state; every
+  matmul is MXU-shaped.
+* Masked timesteps (all-features == mask_value, reference Masking layer
+  semantics) hold the carried state.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS7 = 1e-7
+
+
+@dataclass(frozen=True)
+class DRNMFConfig:
+    input_dim: int = 257
+    r: int = 1000  # per-source atoms; hidden dim is 2r
+    output_dim: int = 257
+    K_layers: int = 2
+    alph: float = 400.0
+    lam1: float = 1.0
+    mask_value: float = -1.0
+    untie_alph: bool = False  # alph becomes a (2r,) vector
+    params_untied: tuple = ("log_D", "log_alph")
+    params_trainable: tuple = ("log_D", "log_alph")
+    transform_before_irm: Optional[str] = None  # None | 'square'
+
+    @property
+    def hidden_dim(self) -> int:
+        return 2 * self.r
+
+    def untied_names(self, base: str) -> list:
+        if base in self.params_untied:
+            return [f"{base}_{k}" for k in range(self.K_layers)]
+        return [base] * self.K_layers
+
+
+def init_drnmf_params(config: DRNMFConfig, w_noisy: np.ndarray, key=None) -> dict:
+    """Build the alternate-parameter pytree from an SNMF dictionary.
+
+    ``w_noisy``: (input_dim, 2r) nonnegative dictionary [W_clean, W_noise]
+    with unit-L2 columns (the output of the two-stage SNMF recipe).
+
+    Mirrors reference init (enhance.py:147, 219-223, 282-292): log-domain
+    storage with a 1e-7 floor; U1 init ~identity, Uk init ~zero, trainable
+    softplus h0 init from uniform(-0.05, 0.05) (Keras 'uniform' initializer).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(7654)
+    n2r = config.hidden_dim
+    f = config.input_dim
+    w_noisy = np.asarray(w_noisy, np.float32)
+    assert w_noisy.shape == (f, n2r), (w_noisy.shape, (f, n2r))
+
+    alph0 = np.float32(config.alph)
+    if config.untie_alph:
+        alph0 = alph0 * np.ones((n2r,), np.float32)
+
+    params = {
+        "log_U1": np.log(_EPS7 + np.eye(n2r, dtype=np.float32)),
+        "log_Uk": np.log(_EPS7 + np.zeros((n2r, n2r), np.float32)),
+        "log_h0": np.asarray(
+            jax.random.uniform(key, (n2r,), jnp.float32, -0.05, 0.05)
+        ),
+        "log_W_clean": np.log(_EPS7 + w_noisy[:, : config.r].T),
+        "log_W_noise": np.log(_EPS7 + w_noisy[:, config.r :].T),
+    }
+    base = {
+        "log_D": np.log(_EPS7 + w_noisy),
+        "log_alph": np.log(_EPS7 + alph0),
+        "log_lam1": np.log(np.float32(_EPS7 + config.lam1)),
+    }
+    for name, value in base.items():
+        if name in config.params_untied:
+            for k in range(config.K_layers):
+                params[f"{name}_{k}"] = np.array(value, copy=True)
+        else:
+            params[name] = value
+    return {k: jnp.asarray(v) for k, v in params.items()}
+
+
+def drnmf_trainable_mask(config: DRNMFConfig, params: dict) -> dict:
+    """True where a parameter receives gradients.
+
+    The reference trains: the listed ``params_trainable`` (expanded per-layer
+    when untied, enhance.py:239-248), the initial state log_h0 (a trainable
+    Keras weight, custom_layers.py:202-206), and both reconstruction-head
+    kernels (ordinary Dense layers)."""
+    trainable = set()
+    for name in config.params_trainable:
+        if name in config.params_untied:
+            trainable.update(f"{name}_{k}" for k in range(config.K_layers))
+        else:
+            trainable.add(name)
+    trainable.update({"log_h0", "log_W_clean", "log_W_noise"})
+    return {k: (k in trainable) for k in params}
+
+
+def _effective_matrices(params: dict, config: DRNMFConfig):
+    """Materialize per-layer U, S, W, b from the alt params (enhance.py:162-204)."""
+    K = config.K_layers
+    d_names = config.untied_names("log_D")
+    a_names = config.untied_names("log_alph")
+    l_names = config.untied_names("log_lam1")
+
+    def dhat(k):
+        d = jnp.exp(params[d_names[k]])
+        return d / jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+
+    U = [jnp.exp(params["log_U1"]).T] + [
+        jnp.exp(params["log_Uk"]).T for _ in range(K - 1)
+    ]
+    eye = jnp.eye(config.hidden_dim, dtype=jnp.float32)
+    S = []
+    for k in range(1, K):
+        dk = dhat(k)
+        alph = jnp.exp(params[a_names[k]])
+        S.append((eye - jnp.dot((dk / alph).T, dk, preferred_element_type=jnp.float32)).T)
+    W = [dhat(k) / jnp.exp(params[a_names[k]]) for k in range(K)]
+    b = [
+        -jnp.ones((config.hidden_dim,), jnp.float32)
+        * jnp.exp(params[l_names[k]])
+        / jnp.exp(params[a_names[k]])
+        for k in range(K)
+    ]
+    return U, S, W, b
+
+
+def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
+                 step_mask: jnp.ndarray) -> jnp.ndarray:
+    """Run the recurrence.  x: (B, T, F); step_mask: (B, T) bool.
+    Returns hidden states (B, T, 2r)."""
+    K = config.K_layers
+    U, S, W, b = _effective_matrices(params, config)
+    h0 = jax.nn.softplus(params["log_h0"])
+    bsz = x.shape[0]
+    h_init = jnp.broadcast_to(h0[None, :], (bsz, config.hidden_dim))
+
+    xT = jnp.swapaxes(x, 0, 1)  # (T, B, F)
+    mT = jnp.swapaxes(step_mask, 0, 1)  # (T, B)
+
+    def step(h_prev, inp):
+        x_t, m_t = inp
+        hidden = None
+        for k in range(K):
+            pre = jnp.dot(h_prev, U[k], preferred_element_type=jnp.float32)
+            if k > 0:
+                pre = pre + jnp.dot(hidden, S[k - 1], preferred_element_type=jnp.float32)
+            pre = pre + jnp.dot(x_t, W[k], preferred_element_type=jnp.float32)
+            hidden = jax.nn.relu(pre + b[k])
+        h_new = jnp.where(m_t[:, None], hidden, h_prev)
+        return h_new, h_new
+
+    _, hs = jax.lax.scan(step, h_init, (xT, mT))
+    return jnp.swapaxes(hs, 0, 1)  # (B, T, 2r)
+
+
+def _heads(params: dict, config: DRNMFConfig, hidden: jnp.ndarray):
+    """Nonnegative reconstruction heads (DenseNonNegW: x @ exp(kernel))."""
+    h_clean = hidden[..., : config.r]
+    h_noise = hidden[..., config.r :]
+    clean_est = jnp.dot(
+        h_clean, jnp.exp(params["log_W_clean"]), preferred_element_type=jnp.float32
+    )
+    noise_est = jnp.dot(
+        h_noise, jnp.exp(params["log_W_noise"]), preferred_element_type=jnp.float32
+    )
+    return clean_est, noise_est
+
+
+def _ratio_mask(clean_est, noise_est, transform: Optional[str]):
+    """Numerically stable A/(A+B) (custom_layers.py:41-45)."""
+    if transform == "square":
+        clean_est = jnp.square(clean_est)
+        noise_est = jnp.square(noise_est)
+    return jnp.exp(
+        jnp.log(_EPS7 + clean_est) - jnp.log(_EPS7 + clean_est + noise_est)
+    )
+
+
+def step_mask_from_input(x: jnp.ndarray, mask_value: float) -> jnp.ndarray:
+    """Keras Masking semantics: a timestep is masked iff every feature equals
+    mask_value.  (B, T, F) -> (B, T) bool (True = valid)."""
+    return jnp.any(x != mask_value, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("config", "return_parts"))
+def drnmf_apply(params: dict, config: DRNMFConfig, x: jnp.ndarray,
+                return_parts: bool = False):
+    """Forward pass: noisy magnitude spectrogram (B, T, F) -> ratio mask.
+
+    With ``return_parts=True`` also returns (hidden, clean_est, noise_est)
+    for the SNMF-cost pretraining path (enhance.py:1024-1036)."""
+    step_mask = step_mask_from_input(x, config.mask_value)
+    hidden = _scan_hidden(params, config, x, step_mask)
+    clean_est, noise_est = _heads(params, config, hidden)
+    irm = _ratio_mask(clean_est, noise_est, config.transform_before_irm)
+    if return_parts:
+        return irm, hidden, clean_est, noise_est
+    return irm

@@ -1,0 +1,222 @@
+"""DR-NMF model tests.
+
+Key oracle: a plain-numpy transcription of the reference cell semantics
+(custom_layers.py:343-375 step + enhance.py:139-206 parameter maps), and the
+relationship that layers k>=2 of the unfolded cell at initialization perform
+*exact* ISTA steps (enhance.py:402-418) under the SNMF dictionary.
+"""
+
+import numpy as np
+import pytest
+
+from drnmf_tpu.models import (
+    DRNMFConfig,
+    init_drnmf_params,
+    drnmf_apply,
+    drnmf_trainable_mask,
+)
+
+EPS = 1e-7
+
+
+def make_dict(rng, f, r2):
+    w = rng.uniform(0.05, 1.0, (f, r2)).astype(np.float32)
+    return w / np.sqrt(np.sum(w**2, axis=0))
+
+
+def numpy_forward(params, config, x):
+    """Numpy transcription of the reference forward pass (behavioral spec).
+
+    x: (T, F).  Returns (hidden (T, 2r), irm (T, F))."""
+    K = config.K_layers
+    p = {k: np.asarray(v, np.float64) for k, v in params.items()}
+
+    def name(base, k):
+        return f"{base}_{k}" if base in config.params_untied else base
+
+    def dhat(k):
+        d = np.exp(p[name("log_D", k)])
+        return d / np.sqrt(np.sum(d**2, axis=0, keepdims=True))
+
+    U = [np.exp(p["log_U1"]).T] + [np.exp(p["log_Uk"]).T] * (K - 1)
+    n2r = config.hidden_dim
+    S = {}
+    for k in range(1, K):
+        dk = dhat(k)
+        alph = np.exp(p[name("log_alph", k)])
+        S[k] = (np.eye(n2r) - (dk / alph).T @ dk).T
+    W = [dhat(k) / np.exp(p[name("log_alph", k)]) for k in range(K)]
+    b = [
+        -np.ones(n2r) * np.exp(p[name("log_lam1", k)]) / np.exp(p[name("log_alph", k)])
+        for k in range(K)
+    ]
+
+    h = np.log(1 + np.exp(p["log_h0"]))  # softplus
+    T = x.shape[0]
+    hs = np.zeros((T, n2r))
+    for t in range(T):
+        hidden = None
+        for k in range(K):
+            pre = h @ U[k]
+            if k > 0:
+                pre = pre + hidden @ S[k]
+            pre = pre + x[t] @ W[k]
+            hidden = np.maximum(0.0, pre + b[k])
+        h = hidden
+        hs[t] = h
+
+    clean = hs[:, : config.r] @ np.exp(p["log_W_clean"])
+    noise = hs[:, config.r :] @ np.exp(p["log_W_noise"])
+    irm = np.exp(np.log(EPS + clean) - np.log(EPS + clean + noise))
+    return hs, irm
+
+
+@pytest.mark.parametrize("untied", [(), ("log_D", "log_alph")])
+def test_forward_matches_numpy_transcription(rng, untied):
+    f, r, K, T = 33, 8, 3, 12
+    config = DRNMFConfig(
+        input_dim=f, r=r, output_dim=f, K_layers=K, alph=10.0, lam1=0.5,
+        params_untied=untied, params_trainable=untied or ("log_D",),
+    )
+    w = make_dict(rng, f, 2 * r)
+    params = init_drnmf_params(config, w)
+    x = rng.uniform(0.0, 2.0, (1, T, f)).astype(np.float32)
+
+    irm_jax, hidden_jax, _, _ = drnmf_apply(params, config, x, return_parts=True)
+    hs_ref, irm_ref = numpy_forward(params, config, x[0])
+    np.testing.assert_allclose(np.asarray(hidden_jax)[0], hs_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(irm_jax)[0], irm_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_layers_after_first_are_exact_ista_steps(rng):
+    """At init, layer k>=2 computes one exact ISTA/ED step from layer k-1's
+    state (the mathematical content of 'unfolded SNMF')."""
+    f, r, K = 21, 6, 4
+    alph, lam1 = 15.0, 0.7
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                         alph=alph, lam1=lam1, params_untied=())
+    w = make_dict(rng, f, 2 * r)
+    params = {k: np.asarray(v, np.float64) for k, v in init_drnmf_params(config, w).items()}
+
+    d = np.exp(params["log_D"])
+    dhat = d / np.sqrt(np.sum(d**2, axis=0, keepdims=True))
+    a = np.exp(params["log_alph"])
+    l1 = np.exp(params["log_lam1"])
+    x = rng.uniform(0.0, 2.0, (f,))
+    h_prev = np.abs(rng.standard_normal(2 * r))
+
+    # layer 1 (SISTA-RNN form): relu(h_prev @ U1 + x @ D/a - l1/a)
+    u1 = np.exp(params["log_U1"]).T
+    hidden = np.maximum(0, h_prev @ u1 + x @ (dhat / a) - l1 / a)
+    # layers 2..K must be exact ISTA steps
+    s = (np.eye(2 * r) - (dhat / a).T @ dhat).T
+    for k in range(1, K):
+        uk = np.exp(params["log_Uk"]).T
+        cell_next = np.maximum(0, h_prev @ uk + hidden @ s + x @ (dhat / a) - l1 / a)
+        ista_next = np.maximum(
+            0, -l1 / a + hidden + (1.0 / a) * dhat.T @ (x - dhat @ hidden)
+        )
+        # the only difference is the ~1e-7 U_k and off-diagonal U1 leakage
+        np.testing.assert_allclose(cell_next, ista_next, rtol=1e-4, atol=1e-4)
+        hidden = cell_next
+
+
+def test_mask_holds_state(rng):
+    """Masked (all == mask_value) timesteps must carry state through
+    unchanged (Keras Masking + Recurrent semantics)."""
+    f, r = 17, 4
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=5.0, lam1=0.1, params_untied=())
+    w = make_dict(rng, f, 2 * r)
+    params = init_drnmf_params(config, w)
+
+    x_valid = rng.uniform(0.0, 2.0, (1, 6, f)).astype(np.float32)
+    pad = -np.ones((1, 4, f), np.float32)
+    x_padded = np.concatenate([x_valid, pad], axis=1)
+
+    _, hid_short, _, _ = drnmf_apply(params, config, x_valid, return_parts=True)
+    _, hid_long, _, _ = drnmf_apply(params, config, x_padded, return_parts=True)
+    np.testing.assert_allclose(
+        np.asarray(hid_long)[0, :6], np.asarray(hid_short)[0], rtol=1e-5, atol=1e-6
+    )
+    # held state equals last valid state
+    held = np.asarray(hid_long)[0, 6:]
+    np.testing.assert_allclose(
+        held,
+        np.broadcast_to(np.asarray(hid_long)[0, 5], held.shape),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_irm_range_and_shapes(rng):
+    f, r = 17, 4
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=5.0, lam1=0.1)
+    w = make_dict(rng, f, 2 * r)
+    params = init_drnmf_params(config, w)
+    x = rng.uniform(0.0, 2.0, (3, 9, f)).astype(np.float32)
+    irm = np.asarray(drnmf_apply(params, config, x))
+    assert irm.shape == (3, 9, f)
+    assert np.all(irm >= 0) and np.all(irm <= 1.0 + 1e-6)
+
+
+def test_trainable_mask(rng):
+    config = DRNMFConfig(input_dim=9, r=3, output_dim=9, K_layers=2,
+                         params_untied=("log_D", "log_alph"),
+                         params_trainable=("log_D", "log_alph"))
+    w = make_dict(rng, 9, 6)
+    params = init_drnmf_params(config, w)
+    mask = drnmf_trainable_mask(config, params)
+    assert mask["log_D_0"] and mask["log_D_1"]
+    assert mask["log_alph_0"] and mask["log_alph_1"]
+    assert mask["log_h0"] and mask["log_W_clean"] and mask["log_W_noise"]
+    assert not mask["log_U1"] and not mask["log_Uk"] and not mask["log_lam1"]
+
+
+def test_square_transform(rng):
+    f, r = 9, 3
+    w = make_dict(rng, f, 2 * r)
+    x = rng.uniform(0.0, 2.0, (1, 5, f)).astype(np.float32)
+    cfg_plain = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2)
+    cfg_sq = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         transform_before_irm="square")
+    params = init_drnmf_params(cfg_plain, w)
+    irm_plain = np.asarray(drnmf_apply(params, cfg_plain, x))
+    irm_sq = np.asarray(drnmf_apply(params, cfg_sq, x))
+    assert not np.allclose(irm_plain, irm_sq)
+    _, _, c, n = drnmf_apply(params, cfg_sq, x, return_parts=True)
+    expect = np.square(np.asarray(c)) / (
+        1e-7 + np.square(np.asarray(c)) + np.square(np.asarray(n))
+    )
+    np.testing.assert_allclose(irm_sq, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_forward_and_masking(rng):
+    from drnmf_tpu.models import LSTMConfig, init_lstm_params, lstm_apply
+
+    config = LSTMConfig(input_dim=17, hidden_dim=12, output_dim=17, K_layers=2)
+    params = init_lstm_params(config)
+    x = rng.uniform(0.0, 2.0, (2, 7, 17)).astype(np.float32)
+    m = np.asarray(lstm_apply(params, config, x))
+    assert m.shape == (2, 7, 17)
+    assert np.all(m > 0) and np.all(m < 1)
+
+    pad = -np.ones((2, 3, 17), np.float32)
+    m_long = np.asarray(lstm_apply(params, config, np.concatenate([x, pad], 1)))
+    np.testing.assert_allclose(m_long[:, :7], m, rtol=1e-5, atol=1e-6)
+
+
+def test_snmf_enhancer_mask(rng):
+    from drnmf_tpu.models import snmf_infer_irm
+    from drnmf_tpu.ops import SNMFParams
+
+    f, r, n = 16, 4, 60
+    w = make_dict(rng, f, 2 * r)
+    h_true = np.abs(rng.standard_normal((2 * r, n))).astype(np.float32)
+    x = (w @ h_true).astype(np.float32)
+    params = SNMFParams(r=r, cf="ed", sparsity=0.1, max_iter=100)
+    irm, h = snmf_infer_irm(x, w, params, max_iter=100)
+    assert irm.shape == (f, n)
+    assert np.all(irm >= 0) and np.all(irm <= 1)
+    assert h.shape == (2 * r, n)
