@@ -1,0 +1,151 @@
+"""Data layer tests: featurization, caching, chunking, reconstruction."""
+
+import numpy as np
+import pytest
+
+from drnmf_tpu.data import (
+    AudioDataset,
+    make_synthetic_corpus,
+    reshape_and_pad_stacks,
+    masked_seqs_to_frames,
+    make_transform,
+    get_mask_value,
+    load_split,
+    pad_axis_to_n,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    taskfiles = make_synthetic_corpus(str(root), n_files=8, max_sec=1.2)
+    return root, taskfiles
+
+
+@pytest.fixture(scope="module")
+def dataset(corpus):
+    root, taskfiles = corpus
+    return AudioDataset(
+        taskfiles["noisy"], taskfiles["clean"],
+        datafile=str(root / "cache.h5"),
+        params_stft={"N": 512, "hop": 128, "nch": 1},
+    )
+
+
+def test_stack_shapes_and_fidx(dataset):
+    assert dataset.x_stack.shape[0] == 2 * 257
+    assert dataset.y_stack.shape == dataset.x_stack.shape
+    fidx = np.asarray(dataset.fidx)
+    assert fidx.shape == (8, 2)
+    assert fidx[0, 0] == 0
+    assert np.all(fidx[1:, 0] == fidx[:-1, 1])
+    assert fidx[-1, 1] == dataset.x_stack.shape[1]
+
+
+def test_featurization_matches_single_file_stft(dataset, corpus):
+    """Stack columns for file j must equal a direct STFT of that file."""
+    from drnmf_tpu.dsp import stft, wavread, sqrt_hann_periodic
+
+    j = 3
+    x = wavread(dataset.x_wavfiles[j])[0]
+    spec = np.asarray(stft(x, 512, 128, sqrt_hann_periodic(512)))  # (T, F)
+    seg = dataset.x_stack[:, dataset.fidx[j, 0] : dataset.fidx[j, 1]]
+    np.testing.assert_allclose(seg[:257], spec.T.real, atol=1e-5)
+    np.testing.assert_allclose(seg[257:], spec.T.imag, atol=1e-5)
+
+
+def test_hdf5_cache_roundtrip(dataset, corpus):
+    root, taskfiles = corpus
+    d2 = AudioDataset(
+        taskfiles["noisy"], taskfiles["clean"],
+        datafile=str(root / "cache.h5"),
+        params_stft={"N": 512, "hop": 128, "nch": 1},
+    )
+    np.testing.assert_array_equal(d2.x_stack, dataset.x_stack)
+    np.testing.assert_array_equal(d2.fidx, dataset.fidx)
+    assert list(d2.x_wavfiles) == list(dataset.x_wavfiles)
+
+
+def test_reconstruct_passthrough_nmse(dataset):
+    """STFT -> iSTFT passthrough NMSE, the reference's smoke test
+    (test_audio_dataset.py:78-91, expected ~1e-7)."""
+    nmses = dataset.reconstruct_audio("t", idx=[0, 1, 2], test=True)
+    assert all(n < 1e-6 for n in nmses), nmses
+
+
+def test_reconstruct_with_mask_attenuates(dataset):
+    y_full = dataset.reconstruct_x(0)
+    nfram = dataset.fidx[0, 1] - dataset.fidx[0, 0]
+    half_mask = 0.5 * np.ones((257, nfram), np.float32)
+    y_half = dataset.reconstruct_x(0, mask=half_mask)
+    np.testing.assert_allclose(y_half, 0.5 * y_full, atol=1e-6)
+
+
+def test_chunking_semantics():
+    """reshape_and_pad_stacks must reproduce the reference's cursor walk."""
+    f2 = 6
+    fidx = np.array([[0, 7], [7, 10], [10, 22]])
+    stack = np.arange(22 * f2, dtype=np.float32).reshape(f2, 22)
+    x, y, mask = reshape_and_pad_stacks(stack, stack, fidx, maxlen=5)
+    # file lens 7,3,12 -> ceil(7/5)+ceil(3/5)+ceil(12/5) = 2+1+3 = 6 sequences
+    assert x.shape == (6, 5, f2)
+    # sequence 0: frames 0..4; sequence 1: frames 5..6 (then bump)
+    np.testing.assert_array_equal(x[0, :, 0], stack[0, 0:5])
+    np.testing.assert_array_equal(x[1, :2, 0], stack[0, 5:7])
+    assert np.all(mask[1, 2:] == 0)
+    # sequence 2: file 1 frames 7..9
+    np.testing.assert_array_equal(x[2, :3, 0], stack[0, 7:10])
+    # sequences 3..5: file 2 frames 10..21
+    np.testing.assert_array_equal(x[3, :, 0], stack[0, 10:15])
+    np.testing.assert_array_equal(x[5, :2, 0], stack[0, 20:22])
+
+
+def test_no_maxlen_pads_to_maxseq():
+    f2 = 4
+    fidx = np.array([[0, 3], [3, 10]])
+    stack = np.ones((f2, 10), np.float32)
+    x, y, mask = reshape_and_pad_stacks(stack, stack, fidx, pad_value=-1.0)
+    assert x.shape == (2, 7, f2)
+    assert np.all(x[0, 3:] == -1.0)
+    assert mask[0, :3].all() and not mask[0, 3:].any()
+
+
+def test_transforms_and_mask_value():
+    s = np.array([[3.0], [0.0], [4.0], [0.0]], np.float32)  # re=[3,0], im=[4,0]
+    mag = make_transform("mag")(s)
+    np.testing.assert_allclose(mag, [[5.0], [0.0]])
+    logmag = make_transform("logmag")(s)
+    np.testing.assert_allclose(logmag, np.log(1 + mag))
+    assert get_mask_value("mag", "mag") == -1.0
+    assert get_mask_value("none", "logmag") == -1.0
+    assert get_mask_value("none", "none") == 0.0
+
+
+def test_masked_seqs_to_frames_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 5, 3)).astype(np.float32)
+    mask = np.ones((2, 5, 1), np.float32)
+    mask[0, 3:] = 0
+    mask[1, 4:] = 0
+    frames = masked_seqs_to_frames(x, mask)
+    assert frames.shape == (3, 7)
+    np.testing.assert_array_equal(frames[:, :3], x[0, :3].T)
+    np.testing.assert_array_equal(frames[:, 3:], x[1, :4].T)
+
+
+def test_load_split(dataset):
+    x, y, mask = load_split(dataset, "mag", "mag", maxlen=50)
+    assert x.shape == y.shape
+    assert x.shape[1] <= 50
+    assert x.shape[2] == 257
+    assert np.all(x[mask[..., 0] > 0] >= 0)  # magnitudes are nonnegative
+    # padding value is -1 for mag transforms
+    if np.any(mask == 0):
+        assert np.all(x[mask[..., 0] == 0] == -1.0)
+
+
+def test_pad_axis_to_n():
+    x = np.ones((2, 3, 4), np.float32)
+    out = pad_axis_to_n(x, 1, 5, -1.0)
+    assert out.shape == (2, 5, 4)
+    assert np.all(out[:, 3:] == -1.0)
