@@ -1,0 +1,18 @@
+from .losses import masked_mse_signal_approx, snmf_pretrain_loss
+from .loop import TrainConfig, train_model, make_optimizer, evaluate
+from .history import LossHistory
+from .checkpoint import save_checkpoint, load_checkpoint
+from .snmf_recipe import train_snmf
+
+__all__ = [
+    "masked_mse_signal_approx",
+    "snmf_pretrain_loss",
+    "TrainConfig",
+    "train_model",
+    "make_optimizer",
+    "evaluate",
+    "LossHistory",
+    "save_checkpoint",
+    "load_checkpoint",
+    "train_snmf",
+]

@@ -1,0 +1,183 @@
+"""Training loop: optax Adam with Keras-compatible semantics, per-parameter
+trainability, early stopping, best-only checkpointing, full metric history.
+
+Reference behaviors reproduced (enhance.py:1040-1166):
+
+* Adam(lr, clipnorm, decay) -- Keras 2.0.4 decay schedule
+  ``lr_t = lr / (1 + decay * iteration)``; global-norm clipping when
+  ``clipnorm > 0``.
+* per-parameter trainability (``params_trainable`` semantics) via a masked
+  optimizer -- frozen alt-params receive zero updates.
+* ``EarlyStopping(val_loss, patience)`` and best-val-loss-only weight saving;
+  history pickled each epoch (LossHistory).
+* batch shuffling each epoch (Keras fit default).
+
+TPU-first: the train step is one jit'd program (forward + backward + Adam);
+batches stream host->device per step, and with a provided
+``jax.sharding.Mesh`` the step shards the batch axis over the 'dp' mesh axis
+(gradients are reduced by XLA-inserted collectives over ICI).
+"""
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .history import LossHistory
+from .checkpoint import save_checkpoint
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 100
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    clipnorm: float = 0.0
+    decay: float = 0.0
+    patience: int = 50
+    seed: int = 7654
+    verbose: bool = True
+
+
+def make_optimizer(train_config: TrainConfig, trainable_mask: Optional[dict] = None):
+    """Keras-Adam-compatible optax chain with optional parameter freezing."""
+
+    def lr_schedule(step):
+        return train_config.learning_rate / (1.0 + train_config.decay * step)
+
+    chain = []
+    if train_config.clipnorm and train_config.clipnorm > 0:
+        chain.append(optax.clip_by_global_norm(train_config.clipnorm))
+    chain.append(optax.adam(lr_schedule, b1=0.9, b2=0.999, eps=1e-8))
+    opt = optax.chain(*chain)
+    if trainable_mask is not None:
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()},
+            {k: ("train" if v else "freeze") for k, v in trainable_mask.items()},
+        )
+    return opt
+
+
+def _shard_batch(batch, mesh):
+    if mesh is None:
+        return batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("dp"))
+    return tuple(jax.device_put(b, sharding) for b in batch)
+
+
+def make_train_step(loss_fn: Callable, optimizer):
+    """loss_fn(params, x, y, mask) -> scalar.  Returns jit'd step."""
+
+    @jax.jit
+    def step(params, opt_state, x, y, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_eval_step(loss_fn: Callable):
+    @jax.jit
+    def step(params, x, y, mask):
+        return loss_fn(params, x, y, mask)
+
+    return step
+
+
+def evaluate(eval_step, params, data, batch_size=250):
+    """Masked-mean loss over a whole split, aggregated exactly (weighted by
+    valid-frame counts per batch)."""
+    x, y, mask = data
+    total, weight = 0.0, 0.0
+    for start in range(0, x.shape[0], batch_size):
+        xb = x[start : start + batch_size]
+        yb = y[start : start + batch_size]
+        mb = mask[start : start + batch_size]
+        w = float(np.sum(mb[..., 0] if mb.ndim == 3 else mb))
+        loss = float(eval_step(params, xb, yb, mb))
+        total += loss * w
+        weight += w
+    return total / max(weight, 1.0)
+
+
+def train_model(
+    params: dict,
+    loss_fn: Callable,
+    train_data,
+    valid_data,
+    train_config: TrainConfig,
+    trainable_mask: Optional[dict] = None,
+    savefile: Optional[str] = None,
+    histfile: Optional[str] = None,
+    mesh=None,
+):
+    """Fit with early stopping; returns (best_params, history).
+
+    ``train_data`` / ``valid_data``: (x, y, mask) numpy tensors.
+    """
+    optimizer = make_optimizer(train_config, trainable_mask)
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(loss_fn, optimizer)
+    eval_fn = make_eval_step(loss_fn)
+    history = LossHistory(histfile)
+
+    x, y, mask = train_data
+    n = x.shape[0]
+    rng = np.random.default_rng(train_config.seed)
+
+    best_val = np.inf
+    best_params = {k: np.asarray(v) for k, v in params.items()}
+    wait = 0
+
+    for epoch in range(train_config.epochs):
+        t0 = time.time()
+        order = rng.permutation(n)
+        epoch_loss, n_batches = 0.0, 0
+        for start in range(0, n, train_config.batch_size):
+            idx = order[start : start + train_config.batch_size]
+            batch = _shard_batch((x[idx], y[idx], mask[idx]), mesh)
+            params, opt_state, loss = step_fn(params, opt_state, *batch)
+            loss = float(loss)
+            history.on_batch_end({"loss": loss})
+            epoch_loss += loss
+            n_batches += 1
+
+        val_loss = evaluate(eval_fn, params, valid_data)
+        history.on_epoch_end(
+            {"loss": epoch_loss / max(n_batches, 1), "val_loss": val_loss}
+        )
+        if train_config.verbose:
+            print(
+                f"epoch {epoch + 1}/{train_config.epochs}: "
+                f"loss {epoch_loss / max(n_batches, 1):.6f} "
+                f"val_loss {val_loss:.6f} ({time.time() - t0:.1f}s)"
+            )
+
+        if val_loss < best_val:
+            best_val = val_loss
+            best_params = {k: np.asarray(v) for k, v in params.items()}
+            if savefile is not None:
+                save_checkpoint(savefile, best_params, meta={"val_loss": best_val})
+            wait = 0
+        else:
+            wait += 1
+            if wait > train_config.patience:
+                if train_config.verbose:
+                    print(f"early stopping at epoch {epoch + 1}")
+                break
+
+    if train_config.epochs == 0 and savefile is not None:
+        # reference quirk kept on purpose: epochs=0 snapshots initialization
+        # (enhance.py:1159-1160)
+        save_checkpoint(savefile, best_params, meta={"val_loss": np.inf})
+
+    return best_params, history

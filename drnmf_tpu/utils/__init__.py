@@ -1,0 +1,12 @@
+from .config import config_hash, load_yaml, dump_yaml, ensure_experiment_dirs
+from .cache import snmf_cache_path, save_snmf, load_snmf
+
+__all__ = [
+    "config_hash",
+    "load_yaml",
+    "dump_yaml",
+    "ensure_experiment_dirs",
+    "snmf_cache_path",
+    "save_snmf",
+    "load_snmf",
+]

@@ -1,0 +1,156 @@
+"""Training subsystem tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from drnmf_tpu.models import DRNMFConfig, init_drnmf_params, drnmf_apply, drnmf_trainable_mask
+from drnmf_tpu.train import (
+    TrainConfig,
+    train_model,
+    masked_mse_signal_approx,
+    snmf_pretrain_loss,
+    LossHistory,
+    save_checkpoint,
+    load_checkpoint,
+    train_snmf,
+)
+from drnmf_tpu.ops import SNMFParams
+
+
+def test_masked_mse_matches_manual():
+    rng = np.random.default_rng(1)
+    irm = rng.uniform(0, 1, (2, 4, 3)).astype(np.float32)
+    x = rng.uniform(0, 2, (2, 4, 3)).astype(np.float32)
+    y = rng.uniform(0, 2, (2, 4, 3)).astype(np.float32)
+    mask = np.ones((2, 4, 1), np.float32)
+    mask[0, 2:] = 0
+    loss = float(masked_mse_signal_approx(jnp.asarray(irm), jnp.asarray(x),
+                                          jnp.asarray(y), jnp.asarray(mask)))
+    manual = []
+    for b in range(2):
+        for t in range(4):
+            if mask[b, t, 0] > 0:
+                manual.append(np.mean((x[b, t] * irm[b, t] - y[b, t]) ** 2))
+    np.testing.assert_allclose(loss, np.mean(manual), rtol=1e-5)
+
+
+def _toy_problem(rng, n_seq=6, T=10, f=21, r=4):
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=10.0, lam1=0.2)
+    params = init_drnmf_params(config, w)
+    y = rng.uniform(0.0, 1.0, (n_seq, T, f)).astype(np.float32)
+    noise = rng.uniform(0.0, 1.0, (n_seq, T, f)).astype(np.float32)
+    x = y + noise
+    mask = np.ones((n_seq, T, 1), np.float32)
+    mask[0, 7:] = 0
+    x[0, 7:] = -1.0
+    y[0, 7:] = -1.0
+    return config, params, (x, y, mask)
+
+
+def test_training_reduces_loss(rng, tmp_path):
+    config, params, data = _toy_problem(rng)
+
+    def loss_fn(p, x, y, mask):
+        irm = drnmf_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    tc = TrainConfig(epochs=15, batch_size=3, learning_rate=2e-2,
+                     patience=50, verbose=False)
+    tmask = drnmf_trainable_mask(config, params)
+    best, hist = train_model(
+        params, loss_fn, data, data, tc,
+        trainable_mask=tmask,
+        savefile=str(tmp_path / "model.npz"),
+        histfile=str(tmp_path / "hist.pkl"),
+    )
+    losses = hist.history["on_epoch_end"]["val_loss"]
+    assert losses[-1] < losses[0] * 0.98
+    # frozen params unchanged
+    np.testing.assert_array_equal(np.asarray(best["log_U1"]),
+                                  np.asarray(params["log_U1"]))
+    np.testing.assert_array_equal(np.asarray(best["log_lam1"]),
+                                  np.asarray(params["log_lam1"]))
+    # trainable params moved
+    assert not np.allclose(np.asarray(best["log_D_0"]), np.asarray(params["log_D_0"]))
+    # checkpoint round trip
+    loaded, meta = load_checkpoint(str(tmp_path / "model.npz"))
+    assert set(loaded) == set(best)
+    assert "val_loss" in meta
+    # history persisted
+    h = LossHistory.load(str(tmp_path / "hist.pkl"))
+    assert len(h["on_epoch_end"]["val_loss"]) == len(losses)
+
+
+def test_early_stopping(rng, tmp_path):
+    config, params, data = _toy_problem(rng)
+
+    def loss_fn(p, x, y, mask):
+        irm = drnmf_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    # lr=0 -> no improvement after epoch 1 -> stop at patience+2 epochs
+    tc = TrainConfig(epochs=50, batch_size=6, learning_rate=0.0,
+                     patience=2, verbose=False)
+    best, hist = train_model(params, loss_fn, data, data, tc)
+    assert len(hist.history["on_epoch_end"]["val_loss"]) <= 5
+
+
+def test_pretrain_loss_runs(rng):
+    config, params, (x, y, mask) = _toy_problem(rng)
+    irm, hidden, clean, noise = drnmf_apply(params, config, x, return_parts=True)
+    loss = float(snmf_pretrain_loss(clean, noise, hidden, jnp.asarray(x),
+                                    jnp.asarray(mask), 0.2))
+    assert np.isfinite(loss) and loss > 0
+
+
+def test_keras_decay_schedule():
+    from drnmf_tpu.train import make_optimizer
+
+    tc = TrainConfig(learning_rate=1.0, decay=0.5)
+    opt = make_optimizer(tc)
+    # schedule is embedded; validate by applying updates to a simple param
+    import optax
+
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    g = {"w": jnp.ones(3)}
+    # first step uses lr/(1+0.5*0)=1.0 -> adam step magnitude ~1.0
+    updates, state = opt.update(g, state, params)
+    step1 = float(jnp.abs(updates["w"][0]))
+    updates, state = opt.update(g, state, params)
+    step2 = float(jnp.abs(updates["w"][0]))
+    assert step1 > step2  # decaying lr
+
+
+def test_train_snmf_two_stage(rng, tmp_path):
+    f, r, n = 16, 4, 120
+    w_true = rng.uniform(0.05, 1.0, (f, r)).astype(np.float32)
+    h = np.abs(rng.standard_normal((r, n))).astype(np.float32)
+    clean = (w_true @ h).astype(np.float32)
+    noisy = clean + 0.5 * np.abs(rng.standard_normal((f, n))).astype(np.float32)
+    params = SNMFParams(r=r, cf="ed", sparsity=0.2, max_iter=40, random_seed=2016)
+    w_noisy, h_noisy, obj = train_snmf(
+        clean, noisy, params, path_dicts=str(tmp_path) + "/", save_h=True,
+        verbose=False,
+    )
+    assert w_noisy.shape == (f, 2 * r)
+    np.testing.assert_allclose(np.sum(w_noisy**2, axis=0), 1.0, rtol=1e-3)
+
+    # second call hits the cache and returns identical dictionaries
+    w2, _, _ = train_snmf(clean, noisy, params, path_dicts=str(tmp_path) + "/",
+                          save_h=True, verbose=False)
+    np.testing.assert_array_equal(w_noisy, w2)
+
+
+def test_config_hash_stability():
+    from drnmf_tpu.utils import config_hash
+
+    a = {"x": 1, "y": [1, 2], "z": np.float32(2.0)}
+    b = {"z": 2.0, "y": [1, 2], "x": 1}
+    assert config_hash(a) == config_hash(b)
+    assert config_hash(a) != config_hash({**a, "x": 2})
