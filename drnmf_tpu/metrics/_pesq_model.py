@@ -1,0 +1,136 @@
+"""P.862-style perceptual model for time-aligned signals (see pesq.py).
+
+Pipeline: level align -> Hann STFT -> Bark-band pitch power densities ->
+partial frequency/gain equalization -> Zwicker loudness -> symmetric and
+asymmetric disturbance densities -> L6/L2 time aggregation -> MOS map.
+
+Deviations from the ITU reference implementation are documented inline; the
+score is a calibrated MOS-like value, monotone in distortion, with
+clean==ref mapping to ~4.5.
+"""
+
+import numpy as np
+
+_GAMMA = 0.23  # Zwicker power-law exponent
+_P0 = 1e4  # absolute-threshold proxy per band (flat approximation)
+_N_BARK = 49
+
+
+def _bark(f):
+    return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+def _band_matrix(fs, n_fft):
+    """(n_bark, F) averaging matrix over equal-Bark-width bands."""
+    f = np.linspace(0, fs / 2, n_fft // 2 + 1)
+    z = _bark(f)
+    edges = np.linspace(0, z[-1] + 1e-6, _N_BARK + 1)
+    M = np.zeros((_N_BARK, len(f)))
+    for j in range(_N_BARK):
+        sel = (z >= edges[j]) & (z < edges[j + 1])
+        if sel.any():
+            M[j, sel] = 1.0 / sel.sum()
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    widths = np.diff(edges)
+    return M, centers, widths
+
+
+def _frames(x, flen, hop):
+    n = max(0, (len(x) - flen) // hop + 1)
+    idx = np.arange(n)[:, None] * hop + np.arange(flen)[None, :]
+    return x[idx]
+
+
+def _level_align(x, fs):
+    """Scale to a fixed active power in the 350-3250 Hz band."""
+    n_fft = 1024
+    spec = np.fft.rfft(_frames(x, n_fft, n_fft // 2) * np.hanning(n_fft), axis=-1)
+    f = np.linspace(0, fs / 2, n_fft // 2 + 1)
+    band = (f >= 350) & (f <= 3250)
+    p = np.mean(np.abs(spec[:, band]) ** 2)
+    target = 1e7
+    return x * np.sqrt(target / max(p, 1e-12))
+
+
+def pesq_mos_aligned(ref, deg, fs=16000):
+    flen = 512 if fs == 16000 else 256
+    hop = flen // 2
+    n = min(len(ref), len(deg))
+    ref, deg = ref[:n] * 32768.0, deg[:n] * 32768.0  # integer-scale convention
+
+    ref = _level_align(ref, fs)
+    deg = _level_align(deg, fs)
+
+    w = np.hanning(flen)
+    rf = np.fft.rfft(_frames(ref, flen, hop) * w, axis=-1)
+    df = np.fft.rfft(_frames(deg, flen, hop) * w, axis=-1)
+    n_frames = min(rf.shape[0], df.shape[0])
+    if n_frames < 4:
+        return float("nan")
+    rp = np.abs(rf[:n_frames]) ** 2
+    dp = np.abs(df[:n_frames]) ** 2
+
+    M, centers, widths = _band_matrix(fs, flen)
+    rb = rp @ M.T  # (T, n_bark) pitch power densities
+    db = dp @ M.T
+
+    # silent-frame detection on the reference
+    frame_energy = rb.sum(axis=1)
+    active = frame_energy > (frame_energy.max() * 1e-4)
+    if active.sum() < 4:
+        return float("nan")
+
+    # partial frequency compensation (per-band ratio over active frames,
+    # clipped to [0.01, 100] as in P.862)
+    mean_r = rb[active].mean(axis=0)
+    mean_d = db[active].mean(axis=0)
+    ratio = np.clip((mean_d + 1e3) / (mean_r + 1e3), 0.01, 100.0)
+    rb_eq = rb * ratio[None, :]
+
+    # short-term gain compensation of the degraded signal (per frame,
+    # clipped to [3e-4, 5])
+    g = np.clip(
+        (rb_eq.sum(axis=1) + 5e3) / (db.sum(axis=1) + 5e3), 3e-4, 5.0
+    )
+    db_eq = db * g[:, None]
+
+    # Zwicker loudness
+    def loudness(p):
+        return (_P0 / 0.5) ** _GAMMA * ((0.5 + 0.5 * p / _P0) ** _GAMMA - 1.0)
+
+    lr = loudness(rb_eq)
+    ld = loudness(db_eq)
+
+    # disturbance with the P.862 deadzone (0.25 * min of the two loudnesses)
+    d = ld - lr
+    dead = 0.25 * np.minimum(ld, lr)
+    d = np.where(d > dead, d - dead, np.where(d < -dead, d + dead, 0.0))
+
+    # asymmetry factor ((deg+50)/(ref+50))^1.2; <3 -> 0, capped at 12
+    asym = ((db_eq + 50.0) / (rb_eq + 50.0)) ** 1.2
+    asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
+
+    wb = widths[None, :]
+    # symmetric disturbance per frame: weighted L2 over Bark
+    d_sym = np.sqrt(np.sum((d**2) * wb, axis=1) / np.sum(wb))
+    # asymmetric disturbance per frame: weighted L1 of asym-weighted |d|
+    d_asym = np.sum(np.abs(d) * asym * wb, axis=1) / np.sum(wb)
+
+    d_sym = d_sym[active]
+    d_asym = d_asym[active]
+
+    def lp_time(x, chunk=20, p_inner=6.0, p_outer=2.0):
+        """L6 over ~split-second chunks, L2 over chunks (P.862 aggregation)."""
+        m = len(x)
+        pads = (-m) % chunk
+        xx = np.pad(x, (0, pads)).reshape(-1, chunk)
+        counts = np.minimum(chunk, m - np.arange(xx.shape[0]) * chunk)
+        inner = (np.sum(xx**p_inner, axis=1) / np.maximum(counts, 1)) ** (1 / p_inner)
+        return (np.mean(inner**p_outer)) ** (1 / p_outer)
+
+    D = lp_time(d_sym)
+    DA = lp_time(d_asym)
+
+    # MOS mapping (P.862 raw-score form); coefficients per the standard
+    mos = 4.5 - 0.1 * D - 0.0309 * DA
+    return float(np.clip(mos, -0.5, 4.56))

@@ -1,0 +1,87 @@
+"""BSS-Eval SDR, on device.
+
+Reimplements the single-source case of BSS Eval 3.0's ``bss_eval_sources``
+(the metric the reference computes through MATLAB, score_audio.m:206): the
+estimate is decomposed as ``se = s_target + e_artif`` where ``s_target`` is
+the least-squares projection of ``se`` onto the subspace spanned by 512-tap
+delayed versions of the reference signal, and
+
+    SDR = 10 log10( ||s_target||^2 / ||se - s_target||^2 ).
+
+Computation (all jit'd, vmappable over utterances):
+
+* autocorrelation of the reference and cross-correlation via rFFT
+  (O(n log n) instead of the naive O(n L)),
+* the L x L symmetric Toeplitz normal-equations solve via Cholesky on the
+  MXU (L=512 -- a single well-shaped linalg call),
+* the projection filter applied by FFT convolution.
+
+float32 conditioning: a small diagonal loading (relative ~1e-7) keeps the
+Cholesky stable; parity with a float64 host reference is asserted in tests
+to ~0.01 dB, well inside the 0.1 dB budget.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLEN = 512
+
+
+def _next_pow2(n):
+    return 1 << (int(n) - 1).bit_length()
+
+
+@partial(jax.jit, static_argnames=("flen",))
+def _sdr_padded(se, s, n_valid, flen=FLEN):
+    """se, s: zero-padded (nfft,) float32; n_valid: true length (traced ok)."""
+    nfft = se.shape[-1]
+    sf = jnp.fft.rfft(s)
+    sef = jnp.fft.rfft(se)
+
+    # autocorrelation r[k] = sum_t s[t] s[t-k]
+    r = jnp.fft.irfft(sf * jnp.conj(sf), n=nfft)[:flen]
+    # cross-correlation c[k] = sum_t se[t] s[t-k]
+    c = jnp.fft.irfft(sef * jnp.conj(sf), n=nfft)[:flen]
+
+    # symmetric Toeplitz normal matrix built from r (no data-dependent shapes)
+    idx = jnp.abs(
+        jax.lax.broadcasted_iota(jnp.int32, (flen, flen), 0)
+        - jax.lax.broadcasted_iota(jnp.int32, (flen, flen), 1)
+    )
+    R = r[idx] + (1e-7 * r[0] + 1e-30) * jnp.eye(flen, dtype=r.dtype)
+
+    h = jax.scipy.linalg.solve(R, c, assume_a="pos")
+
+    # s_target = h * s (filter), truncated to n_valid + flen - 1 like bss_eval
+    hf = jnp.fft.rfft(h, n=nfft)
+    s_target = jnp.fft.irfft(hf * sf, n=nfft)
+    t = jnp.arange(nfft)
+    proj_mask = t < (n_valid + flen - 1)
+    s_target = jnp.where(proj_mask, s_target, 0.0)
+    e = jnp.where(proj_mask, se - s_target, 0.0)
+
+    num = jnp.sum(s_target * s_target)
+    den = jnp.sum(e * e)
+    return 10.0 * jnp.log10(num / jnp.maximum(den, 1e-30))
+
+
+def bss_eval_sdr(se, s, flen: int = FLEN) -> float:
+    """SDR of estimate ``se`` against reference ``s`` (1-D arrays)."""
+    se = np.asarray(se, np.float32).ravel()
+    s = np.asarray(s, np.float32).ravel()
+    n = min(len(se), len(s))
+    se, s = se[:n], s[:n]
+    nfft = _next_pow2(n + flen)
+    pad = nfft - n
+    se_p = jnp.asarray(np.pad(se, (0, pad)))
+    s_p = jnp.asarray(np.pad(s, (0, pad)))
+    return float(_sdr_padded(se_p, s_p, jnp.int32(n), flen=flen))
+
+
+def bss_eval_sdr_batch(ses, ss, lengths, flen: int = FLEN):
+    """vmapped SDR over a padded batch: (B, nfft) arrays + (B,) lengths."""
+    fn = jax.vmap(partial(_sdr_padded, flen=flen))
+    return fn(jnp.asarray(ses), jnp.asarray(ss), jnp.asarray(lengths))

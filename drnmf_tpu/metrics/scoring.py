@@ -1,0 +1,115 @@
+"""Scoring engine: per-file metric computation over taskfile pairs.
+
+Replaces the reference's MATLAB subprocess stack (score_audio.m:1-239 invoked
+through audio_dataset.py:399-435): reads enhanced/reference wav pairs,
+truncates to the common length, computes
+[SDR, SNR, SegSNR local, SegSNR global, PESQ, STOI] per file, caches results
+(.npz instead of .mat), and aggregates per SNR condition exactly like the
+reference driver (enhance.py:1396-1433 sums raw scores over SNR buckets and
+divides by the total file count).
+
+Parallelism: where the reference used MATLAB ``parfor`` over files
+(score_audio.m:72-98), here the per-file heavy kernels (SDR solve, STOI
+band correlations) are jit'd JAX programs and files stream through them;
+a thread pool overlaps wav decode with device compute.
+"""
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..dsp.wav import wavread_fs
+from .bss_eval import bss_eval_sdr
+from .snr import snr, snrseg
+from .stoi import stoi
+from .pesq import pesq_16k
+
+SCORE_LABELS = ["SDR", "SNR", "SegSNR local", "SegSNR global", "PESQ", "STOI"]
+
+
+def compute_scores(est_file, ref_file, compute_pesq=False):
+    """Scores for one file pair (score_audio.m:177-238 semantics)."""
+    xest, fs_est = wavread_fs(est_file)
+    xref, fs_ref = wavread_fs(ref_file)
+    if fs_est != fs_ref:
+        raise ValueError(f"fs mismatch: {fs_est} vs {fs_ref}")
+    xest = xest[0]
+    xref = xref[0]
+    n = min(len(xest), len(xref))
+    xest, xref = xest[:n], xref[:n]
+
+    sdr = bss_eval_sdr(xest, xref)
+    raw_snr = snr(xest, xref)
+    loc, glo = snrseg(xest, xref, fs_est)
+    pesq_mos = pesq_16k(xref, xest, fs_est, compute=compute_pesq)
+    stoi_score = stoi(xref, xest, fs_est)
+    return np.array([sdr, raw_snr, loc, glo, pesq_mos, stoi_score])
+
+
+def score_taskfiles(enhanced_files, reference_files, savefile=None,
+                    compute_pesq=False, flag_rescore=False, n_workers=4,
+                    verbose=False):
+    """Score a list of file pairs with caching.  Returns (S, labels):
+    S is (n_files, 6)."""
+    if savefile is not None and os.path.isfile(savefile) and not flag_rescore:
+        data = np.load(savefile)
+        return data["S"], list(SCORE_LABELS)
+
+    pairs = list(zip(enhanced_files, reference_files))
+
+    def job(pair):
+        return compute_scores(pair[0], pair[1], compute_pesq=compute_pesq)
+
+    # warm the jit caches on the first file, then stream the rest through a
+    # small thread pool (decode overlaps device compute)
+    scores = [job(pairs[0])]
+    if len(pairs) > 1:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            scores.extend(pool.map(job, pairs[1:]))
+    S = np.stack(scores)
+
+    if verbose:
+        for label, val in zip(SCORE_LABELS, S.mean(axis=0)):
+            print(f"  mean {label}: {val:.3f}")
+
+    if savefile is not None:
+        os.makedirs(os.path.dirname(os.path.abspath(savefile)), exist_ok=True)
+        np.savez(savefile, S=S, labels=np.array(SCORE_LABELS, dtype="S"))
+    return S, list(SCORE_LABELS)
+
+
+def score_dataset(dataset, description, snr_name=None, savefile=None,
+                  datadir="", compute_pesq=False, flag_rescore=False,
+                  verbose=False):
+    """Score a dataset's enhanced outputs, optionally one SNR bucket.
+
+    Mirrors AudioDataset.score_audio (audio_dataset.py:399-435): enhanced
+    paths derive from the clean taskfile by the 'scaled'->'enhanced_<desc>'
+    substitution; the SNR filter keeps files whose path contains
+    '/<snr>/'.
+    """
+    y_wavfiles = list(dataset.y_wavfiles)
+    if snr_name is None:
+        refs = y_wavfiles
+    else:
+        refs = [w for w in y_wavfiles if f"/{snr_name}/" in w]
+    enh = [w.replace("scaled", f"enhanced_{description}") for w in refs]
+
+    if savefile is None:
+        tag = description if snr_name is None else f"{description}_{snr_name}"
+        savefile = os.path.join(datadir, "scores", f"scores_{tag}.npz")
+
+    return score_taskfiles(
+        enh, refs, savefile=savefile, compute_pesq=compute_pesq,
+        flag_rescore=flag_rescore, verbose=verbose,
+    )
+
+
+def aggregate_snr_scores(per_snr_scores, n_wavfiles):
+    """Sum raw scores over SNR buckets / total files (enhance.py:1405-1414)."""
+    total = None
+    for S, _ in per_snr_scores:
+        s = np.sum(S, axis=0, keepdims=True)
+        total = s if total is None else total + s
+    return total / n_wavfiles

@@ -1,0 +1,142 @@
+"""STOI: short-time objective intelligibility (Taal, Hendriks, Heusdens,
+Jensen, IEEE TASLP 2011).
+
+Replaces the MATLAB ``stoi`` toolbox call in the reference's scoring stack
+(score_audio.m:231).  Canonical algorithm:
+
+1. resample both signals to 10 kHz;
+2. remove frames whose clean-signal energy is > 40 dB below the loudest
+   frame (256-sample Hann frames, 50% overlap), overlap-adding the survivors;
+3. STFT (256-sample frames, hop 128, FFT 512);
+4. group bins into 15 one-third-octave bands (lowest center 150 Hz);
+5. for every 30-frame (384 ms) segment and band: normalize the degraded
+   band envelope to the clean energy, clip at -15 dB SDR, and correlate with
+   the clean envelope;
+6. STOI = mean correlation over all bands and segments.
+
+The data-dependent steps (resampling, silent-frame removal) run on host;
+the spectral decomposition and band/segment correlations are jit'd JAX.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+FS_STOI = 10000
+N_FFT = 512
+FRAME = 256
+HOP = 128
+N_BANDS = 15
+CF_MIN = 150.0
+SEG_FRAMES = 30  # 384 ms
+BETA_DB = -15.0
+DYN_RANGE_DB = 40.0
+
+
+def _thirdoct_matrix():
+    """(N_BANDS, N_FFT//2+1) 0/1 band-grouping matrix."""
+    f = np.linspace(0, FS_STOI / 2, N_FFT // 2 + 1)
+    k = np.arange(N_BANDS)
+    cf = CF_MIN * 2.0 ** (k / 3.0)
+    lo = cf * 2.0 ** (-1.0 / 6.0)
+    hi = cf * 2.0 ** (1.0 / 6.0)
+    H = np.zeros((N_BANDS, len(f)), np.float32)
+    for j in range(N_BANDS):
+        # canonical implementation: nearest bin to each band edge
+        i_lo = np.argmin((f - lo[j]) ** 2)
+        i_hi = np.argmin((f - hi[j]) ** 2)
+        H[j, i_lo:i_hi] = 1.0
+    return H
+
+
+_H_BANDS = _thirdoct_matrix()
+
+
+def _frames(x, flen=FRAME, hop=HOP):
+    n = (len(x) - flen) // hop + 1
+    if n <= 0:
+        return np.zeros((0, flen), np.float32)
+    idx = np.arange(n)[:, None] * hop + np.arange(flen)[None, :]
+    return x[idx]
+
+
+def _remove_silent_frames(x, y):
+    """Drop frames where the clean signal is >40 dB below its loudest frame,
+    overlap-adding the survivors (canonical removeSilentFrames)."""
+    w = np.hanning(FRAME + 2)[1:-1].astype(np.float32)
+    xf = _frames(x) * w
+    yf = _frames(y) * w
+    if xf.shape[0] == 0:
+        return x, y
+    energy = 20 * np.log10(np.linalg.norm(xf, axis=1) + 1e-30)
+    keep = energy > (np.max(energy) - DYN_RANGE_DB)
+    xf, yf = xf[keep], yf[keep]
+    n_keep = xf.shape[0]
+    out_len = FRAME + (n_keep - 1) * HOP if n_keep else 0
+    xs = np.zeros(out_len, np.float32)
+    ys = np.zeros(out_len, np.float32)
+    for i in range(n_keep):
+        xs[i * HOP : i * HOP + FRAME] += xf[i]
+        ys[i * HOP : i * HOP + FRAME] += yf[i]
+    return xs, ys
+
+
+@jax.jit
+def _band_envelopes(sig):
+    """(n_frames, FRAME) windowed frames -> (N_BANDS, n_frames) envelopes."""
+    spec = jnp.fft.rfft(sig, n=N_FFT, axis=-1)
+    power = jnp.abs(spec) ** 2  # (n_frames, F)
+    bands = jnp.sqrt(
+        jnp.dot(power, jnp.asarray(_H_BANDS).T, preferred_element_type=jnp.float32)
+    )
+    return bands.T  # (N_BANDS, n_frames)
+
+
+@jax.jit
+def _stoi_from_envelopes(xb, yb):
+    """xb, yb: (N_BANDS, M) band envelopes.  Mean segment correlation."""
+    n_seg = xb.shape[1] - SEG_FRAMES + 1
+
+    def seg_d(m):
+        xs = jax.lax.dynamic_slice_in_dim(xb, m, SEG_FRAMES, axis=1)
+        ys = jax.lax.dynamic_slice_in_dim(yb, m, SEG_FRAMES, axis=1)
+        alpha = jnp.sqrt(
+            jnp.sum(xs**2, axis=1, keepdims=True)
+            / jnp.maximum(jnp.sum(ys**2, axis=1, keepdims=True), 1e-30)
+        )
+        ys_n = ys * alpha
+        clip = xs * (1.0 + 10.0 ** (-BETA_DB / 20.0))
+        ys_c = jnp.minimum(ys_n, clip)
+        xm = xs - jnp.mean(xs, axis=1, keepdims=True)
+        ym = ys_c - jnp.mean(ys_c, axis=1, keepdims=True)
+        num = jnp.sum(xm * ym, axis=1)
+        den = jnp.sqrt(jnp.sum(xm**2, axis=1) * jnp.sum(ym**2, axis=1))
+        return num / jnp.maximum(den, 1e-30)
+
+    ds = jax.vmap(seg_d)(jnp.arange(n_seg))  # (n_seg, N_BANDS)
+    return jnp.mean(ds)
+
+
+def stoi(ref, est, fs: int = 16000) -> float:
+    """STOI score in [~0, 1].  ``ref`` is the clean signal."""
+    ref = np.asarray(ref, np.float64).ravel()
+    est = np.asarray(est, np.float64).ravel()
+    n = min(len(ref), len(est))
+    ref, est = ref[:n], est[:n]
+    if fs != FS_STOI:
+        ref = scipy.signal.resample_poly(ref, FS_STOI, fs)
+        est = scipy.signal.resample_poly(est, FS_STOI, fs)
+    ref, est = _remove_silent_frames(
+        ref.astype(np.float32), est.astype(np.float32)
+    )
+    w = np.hanning(FRAME + 2)[1:-1].astype(np.float32)
+    xf = _frames(ref) * w
+    yf = _frames(est) * w
+    if xf.shape[0] < SEG_FRAMES:
+        return float("nan")
+    xb = _band_envelopes(jnp.asarray(xf))
+    yb = _band_envelopes(jnp.asarray(yf))
+    return float(_stoi_from_envelopes(xb, yb))

@@ -1,0 +1,137 @@
+"""Metrics engine tests.
+
+SDR is validated against a float64 numpy transcription of the BSS Eval 3.0
+projection (the golden oracle), plus analytic cases.  SNR/SegSNR/STOI/PESQ
+are validated on analytic and monotonicity properties.
+"""
+
+import numpy as np
+import pytest
+
+from drnmf_tpu.metrics import bss_eval_sdr, snr, snrseg, stoi, pesq_16k
+
+
+def ref_sdr_f64(se, s, flen=512):
+    """float64 numpy transcription of bss_eval_sources' single-source
+    projection (the decomposition behind score_audio.m:206)."""
+    import scipy.linalg
+
+    n = len(se)
+    nfft = 1 << (n + flen - 1).bit_length()
+    sf = np.fft.rfft(s, nfft)
+    sef = np.fft.rfft(se, nfft)
+    r = np.fft.irfft(sf * np.conj(sf), nfft)[:flen]
+    c = np.fft.irfft(sef * np.conj(sf), nfft)[:flen]
+    R = scipy.linalg.toeplitz(r)
+    h = np.linalg.solve(R + 1e-12 * r[0] * np.eye(flen), c)
+    s_target = np.fft.irfft(np.fft.rfft(h, nfft) * sf, nfft)[: n + flen - 1]
+    e = np.concatenate([se, np.zeros(flen - 1)]) - s_target
+    return 10 * np.log10(np.sum(s_target**2) / np.sum(e**2))
+
+
+def _speechlike(rng, n=16000):
+    t = np.arange(n) / 16000
+    x = np.zeros(n)
+    for f0, a in [(180, 1.0), (360, 0.6), (540, 0.4), (1200, 0.2)]:
+        x += a * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 2 * np.pi))
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3 * t))
+    return (x * env * 0.1).astype(np.float32)
+
+
+def test_sdr_matches_f64_oracle(rng):
+    s = _speechlike(rng)
+    noise = 0.05 * rng.standard_normal(len(s)).astype(np.float32)
+    se = s + noise
+    ours = bss_eval_sdr(se, s)
+    golden = ref_sdr_f64(se.astype(np.float64), s.astype(np.float64))
+    assert abs(ours - golden) < 0.05, (ours, golden)
+
+
+def test_sdr_perfect_reconstruction_is_high(rng):
+    s = _speechlike(rng)
+    assert bss_eval_sdr(s, s) > 40.0
+
+
+def test_sdr_scaling_invariant_through_projection(rng):
+    """A pure gain is absorbed by the projection filter -> very high SDR."""
+    s = _speechlike(rng)
+    assert bss_eval_sdr(0.5 * s, s) > 40.0
+
+
+def test_sdr_filtered_estimate_absorbed(rng):
+    """A short FIR distortion (< 512 taps) lies in the projection subspace."""
+    s = _speechlike(rng)
+    taps = np.array([0.8, 0.1, -0.05, 0.02], np.float32)
+    se = np.convolve(s, taps, mode="full")[: len(s)].astype(np.float32)
+    assert bss_eval_sdr(se, s) > 35.0
+
+
+def test_sdr_monotone_in_noise(rng):
+    s = _speechlike(rng)
+    noise = rng.standard_normal(len(s)).astype(np.float32)
+    sdrs = [bss_eval_sdr(s + g * noise, s) for g in (0.01, 0.03, 0.1)]
+    assert sdrs[0] > sdrs[1] > sdrs[2]
+
+
+def test_snr_analytic():
+    ref = np.ones(1000, np.float32)
+    est = ref + 0.1
+    # SNR = 10log10(1000 / (1000*0.01)) = 20 dB
+    assert abs(snr(est, ref) - 20.0) < 1e-3
+
+
+def test_snrseg_range_and_monotone(rng):
+    s = _speechlike(rng)
+    n1 = s + 0.01 * rng.standard_normal(len(s)).astype(np.float32)
+    n2 = s + 0.2 * rng.standard_normal(len(s)).astype(np.float32)
+    l1, g1 = snrseg(n1, s)
+    l2, g2 = snrseg(n2, s)
+    assert l1 > l2 and g1 > g2
+    assert -10.0 <= l1 <= 35.0 and -10.0 <= l2 <= 35.0
+
+
+def test_stoi_identity_and_monotone(rng):
+    s = _speechlike(rng, n=32000)
+    noise = rng.standard_normal(len(s)).astype(np.float32)
+    clean_score = stoi(s, s)
+    assert clean_score > 0.99
+    s1 = stoi(s, s + 0.05 * noise)
+    s2 = stoi(s, s + 0.5 * noise)
+    assert clean_score >= s1 > s2
+
+
+def test_pesq_identity_and_monotone(rng):
+    s = _speechlike(rng, n=32000)
+    noise = rng.standard_normal(len(s)).astype(np.float32)
+    clean = pesq_16k(s, s)
+    assert clean > 4.3
+    p1 = pesq_16k(s, s + 0.02 * noise)
+    p2 = pesq_16k(s, s + 0.3 * noise)
+    assert clean >= p1 > p2
+    assert pesq_16k(s, s, compute=False) == -1.0
+
+
+def test_score_taskfiles_and_cache(tmp_path, rng):
+    from drnmf_tpu.metrics import score_taskfiles, SCORE_LABELS
+    from drnmf_tpu.dsp import wavwrite
+
+    s = _speechlike(rng)
+    pairs = []
+    for i in range(3):
+        ref_p = str(tmp_path / f"ref{i}.wav")
+        est_p = str(tmp_path / f"est{i}.wav")
+        noise = 0.05 * rng.standard_normal(len(s)).astype(np.float32)
+        wavwrite(ref_p, 16000, s[None])
+        wavwrite(est_p, 16000, (s + noise)[None])
+        pairs.append((est_p, ref_p))
+
+    save = str(tmp_path / "scores.npz")
+    S, labels = score_taskfiles([p[0] for p in pairs], [p[1] for p in pairs],
+                                savefile=save)
+    assert S.shape == (3, 6)
+    assert labels == SCORE_LABELS
+    assert np.all(np.isfinite(S[:, [0, 1, 2, 3, 5]]))
+    # cache hit returns identical scores
+    S2, _ = score_taskfiles([p[0] for p in pairs], [p[1] for p in pairs],
+                            savefile=save)
+    np.testing.assert_array_equal(S, S2)
