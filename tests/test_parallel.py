@@ -1,0 +1,85 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from drnmf_tpu.parallel import make_mesh, shard_batch, replicate_params, sparse_nmf_sharded
+from drnmf_tpu.ops import SNMFParams, sparse_nmf
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_nmf_matches_single_device(rng):
+    m, n, r = 16, 100, 6  # n not divisible by 8 -> exercises the pad mask
+    w0 = rng.uniform(0.1, 1.0, (m, r)).astype(np.float32)
+    h0 = rng.uniform(0.1, 1.0, (r, n)).astype(np.float32)
+    v = (w0 @ h0 + 0.01 * rng.uniform(size=(m, n))).astype(np.float32)
+    params = SNMFParams(r=r, cf="ed", sparsity=0.4, max_iter=25,
+                        init_w=w0, init_h=h0)
+    single = sparse_nmf(v, params)
+    mesh = make_mesh()
+    sharded = sparse_nmf_sharded(v, params, mesh)
+    np.testing.assert_allclose(sharded.w, single.w, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(sharded.h, single.h, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(sharded.cost, single.cost, rtol=1e-3)
+
+
+@pytest.mark.parametrize("cf", ["kl"])
+def test_sharded_nmf_kl_pad_mask(rng, cf):
+    """beta != 2 exercises the pmin v-floor + masked divergence."""
+    m, n, r = 12, 50, 4
+    w0 = rng.uniform(0.1, 1.0, (m, r)).astype(np.float32)
+    h0 = rng.uniform(0.1, 1.0, (r, n)).astype(np.float32)
+    v = (w0 @ h0).astype(np.float32)
+    v[0, 0] = 0.0  # exercise the zero floor
+    params = SNMFParams(r=r, cf=cf, sparsity=0.1, max_iter=15,
+                        init_w=w0, init_h=h0)
+    single = sparse_nmf(v, params)
+    sharded = sparse_nmf_sharded(v, params, make_mesh())
+    np.testing.assert_allclose(sharded.w, single.w, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(sharded.cost, single.cost, rtol=2e-3)
+
+
+def test_data_parallel_train_step(rng):
+    """One DR-NMF train step with the batch sharded over 8 devices."""
+    from drnmf_tpu.models import (
+        DRNMFConfig, init_drnmf_params, drnmf_apply, drnmf_trainable_mask,
+    )
+    from drnmf_tpu.train import TrainConfig, make_optimizer, masked_mse_signal_approx
+    from drnmf_tpu.train.loop import make_train_step
+
+    f, r = 21, 4
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=10.0, lam1=0.2)
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = init_drnmf_params(config, w)
+
+    def loss_fn(p, x, y, mask):
+        irm = drnmf_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    opt = make_optimizer(TrainConfig(learning_rate=1e-3),
+                         drnmf_trainable_mask(config, params))
+    opt_state = opt.init(params)
+    step = make_train_step(loss_fn, opt)
+
+    mesh = make_mesh()
+    x = rng.uniform(0, 2, (16, 8, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (16, 8, f)).astype(np.float32)
+    mask = np.ones((16, 8, 1), np.float32)
+    xb, yb, mb = shard_batch((x, y, mask), mesh)
+    params_r = replicate_params(params, mesh)
+
+    p2, _, loss_sharded = step(params_r, opt_state, xb, yb, mb)
+    p2_ref, _, loss_single = step(params, opt.init(params), x, y, mask)
+    assert abs(float(loss_sharded) - float(loss_single)) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(p2["log_D_0"]), np.asarray(p2_ref["log_D_0"]),
+        rtol=1e-4, atol=1e-6,
+    )
