@@ -219,13 +219,11 @@ def step_mask_from_input(x: jnp.ndarray, mask_value: float) -> jnp.ndarray:
     return jnp.any(x != mask_value, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("config", "return_parts"))
-def drnmf_apply(params: dict, config: DRNMFConfig, x: jnp.ndarray,
-                return_parts: bool = False):
-    """Forward pass: noisy magnitude spectrogram (B, T, F) -> ratio mask.
-
-    With ``return_parts=True`` also returns (hidden, clean_est, noise_est)
-    for the SNMF-cost pretraining path (enhance.py:1024-1036)."""
+def drnmf_forward(params: dict, config: DRNMFConfig, x: jnp.ndarray,
+                  return_parts: bool = False):
+    """Unjitted forward pass: noisy magnitude spectrogram (B, T, F) -> ratio
+    mask.  With ``return_parts=True`` also returns (hidden, clean_est,
+    noise_est) for the SNMF-cost pretraining path (enhance.py:1024-1036)."""
     step_mask = step_mask_from_input(x, config.mask_value)
     hidden = _scan_hidden(params, config, x, step_mask)
     clean_est, noise_est = _heads(params, config, hidden)
@@ -233,3 +231,8 @@ def drnmf_apply(params: dict, config: DRNMFConfig, x: jnp.ndarray,
     if return_parts:
         return irm, hidden, clean_est, noise_est
     return irm
+
+
+drnmf_apply = partial(jax.jit, static_argnames=("config", "return_parts"))(
+    drnmf_forward
+)
