@@ -1,0 +1,79 @@
+"""Command-line driver.
+
+Reference-compatible invocation (enhance.py:459-475):
+
+    python -m drnmf_tpu.cli -c <model config YAML> -d <data config YAML>
+
+with the model type dispatched by config-filename substring exactly like the
+reference ('unfolded_snmf' before 'snmf' before 'lstm', enhance.py:529-538).
+Extra verbs:
+
+    python -m drnmf_tpu.cli score -c ... -d ...      # rescore only
+    python -m drnmf_tpu.cli --no-score -c ... -d ... # train only
+"""
+
+import argparse
+import os
+import sys
+
+from .utils import load_yaml
+from . import pipeline
+
+
+def dispatch_model_type(configfile: str) -> str:
+    name = os.path.basename(configfile)
+    if "unfolded_snmf" in name:
+        return "unfolded_snmf"
+    if "snmf" in name:
+        return "snmf"
+    if "lstm" in name:
+        return "lstm"
+    raise ValueError(
+        f"cannot infer model type from config filename '{configfile}' "
+        "(expected a 'unfolded_snmf', 'snmf', or 'lstm' substring)"
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-c", "--config", required=True,
+                        help="model config YAML")
+    parser.add_argument("-d", "--data", required=True,
+                        help="data setup YAML")
+    parser.add_argument("--exp-dir", default=None,
+                        help="experiment dir (default data_setup_downsample<d>)")
+    parser.add_argument("--recompute", action="store_true")
+    parser.add_argument("--rescore", action="store_true")
+    parser.add_argument("--no-score", action="store_true")
+    parser.add_argument("--pesq", action="store_true",
+                        help="also compute PESQ (opt-in, like the reference)")
+    parser.add_argument("--splits", default="valid,test")
+    parser.add_argument("-q", "--quiet", action="store_true")
+    args = parser.parse_args(argv)
+
+    params_model = load_yaml(args.config)
+    params_data = load_yaml(args.data)
+    model_type = dispatch_model_type(args.config)
+
+    folder_exp = args.exp_dir or (
+        "data_setup_downsample%d" % params_data.get("downsample", 1)
+    )
+    splits = tuple(s for s in args.splits.split(",") if s)
+    common = dict(
+        flag_recompute=args.recompute,
+        flag_score=not args.no_score,
+        compute_pesq=args.pesq,
+        verbose=not args.quiet,
+        splits=splits,
+    )
+
+    if model_type == "unfolded_snmf":
+        pipeline.run_unfolded_snmf(params_model, params_data, folder_exp, **common)
+    elif model_type == "lstm":
+        pipeline.run_lstm(params_model, params_data, folder_exp, **common)
+    else:
+        pipeline.run_snmf(params_model, params_data, folder_exp, **common)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,392 @@
+"""End-to-end experiment pipeline: the reference driver's main() flow
+(enhance.py:459-1437) as composable functions.
+
+Stages: data load (cached tensors) -> SNMF dictionary (cached) -> model
+build/train (cached best checkpoint) -> full-length mask prediction ->
+audio reconstruction -> per-SNR scoring.  Every artifact is named by the
+md5 hash of its config (the reference's experiment registry), so reruns are
+idempotent and resume from caches.
+"""
+
+import os
+import pickle
+
+import numpy as np
+
+from .data import AudioDataset, load_split, masked_seqs_to_frames, pad_axis_to_n
+from .data.batching import get_mask_value
+from .models import (
+    DRNMFConfig,
+    init_drnmf_params,
+    drnmf_apply,
+    drnmf_trainable_mask,
+    LSTMConfig,
+    init_lstm_params,
+    lstm_apply,
+    snmf_infer_irm,
+)
+from .ops import SNMFParams
+from .train import (
+    TrainConfig,
+    train_model,
+    masked_mse_signal_approx,
+    train_snmf,
+    load_checkpoint,
+)
+from .utils import config_hash, dump_yaml, ensure_experiment_dirs
+from .metrics.scoring import score_dataset, aggregate_snr_scores, SCORE_LABELS
+
+SNRS = ["m6dB", "m3dB", "0dB", "3dB", "6dB", "9dB"]
+
+
+# ---------------------------------------------------------------------------
+# data
+# ---------------------------------------------------------------------------
+
+def build_datasets(params_data, splits=("train", "valid", "test")):
+    """AudioDataset per split (enhance.py:740-743)."""
+    out = {}
+    for split in splits:
+        ds = AudioDataset(
+            params_data[f"taskfile_x_{split}"],
+            params_data[f"taskfile_y_{split}"],
+            datafile=params_data.get(f"datafile_{split}"),
+            params_stft=params_data["params_stft"],
+            downsample=params_data.get("downsample", 1) if split == "train" else 1,
+        )
+        out[split] = ds
+    return out
+
+
+def load_tensors(dataset, params_data, maxlen, cache_path=None):
+    """(x, y, mask) tensors with HDF5-style npz caching (enhance.py:363-382)."""
+    if cache_path is not None and os.path.exists(cache_path):
+        data = np.load(cache_path)
+        return data["x"], data["y"], data["mask"]
+    x, y, mask = load_split(
+        dataset,
+        transform_x=params_data.get("transform_x", "mag"),
+        transform_y=params_data.get("transform_y", "mag"),
+        maxlen=maxlen,
+    )
+    if cache_path is not None:
+        os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+        np.savez(cache_path, x=x, y=y, mask=mask)
+    return x, y, mask
+
+
+# ---------------------------------------------------------------------------
+# mask prediction (full-length, batched -- no graph rebuild needed)
+# ---------------------------------------------------------------------------
+
+def predict_irm(apply_fn, params, x, batch_size=250):
+    irm = np.zeros_like(x)
+    for start in range(0, x.shape[0], batch_size):
+        irm[start : start + batch_size] = np.asarray(
+            apply_fn(params, x[start : start + batch_size])
+        )
+    return irm
+
+
+def reconstruct_split(dataset, irm, mask, description):
+    """Per-utterance mask application + iSTFT + wav write
+    (enhance.py:1195-1203)."""
+    for j in range(len(dataset.x_wavfiles)):
+        len_cur = int(dataset.fidx[j, 1] - dataset.fidx[j, 0])
+        dataset.reconstruct_audio(description, idx=j, irm=irm[j, :len_cur, :].T)
+
+
+def score_split(dataset, description, datadir, compute_pesq=False,
+                flag_rescore=False, verbose=True):
+    """Per-SNR scoring + overall aggregation (enhance.py:1396-1433)."""
+    per_snr = []
+    for snr_name in SNRS:
+        refs = [w for w in dataset.y_wavfiles if f"/{snr_name}/" in w]
+        if not refs:
+            continue
+        if verbose:
+            print(f"  scoring SNR {snr_name} ({len(refs)} files)")
+        S, labels = score_dataset(
+            dataset, description, snr_name=snr_name, datadir=datadir,
+            compute_pesq=compute_pesq, flag_rescore=flag_rescore,
+        )
+        per_snr.append((S, labels))
+    overall = aggregate_snr_scores(per_snr, len(dataset.y_wavfiles))
+    if verbose:
+        for label, val in zip(SCORE_LABELS, overall.ravel()):
+            print(f"  overall mean {label}: {val:.3f}")
+    return overall, per_snr
+
+
+# ---------------------------------------------------------------------------
+# model runners
+# ---------------------------------------------------------------------------
+
+def _dict_from_config(params_model, params_data, datasets, folder_exp,
+                      path_dicts, flag_recompute=False, verbose=True):
+    """Two-stage SNMF dictionary from training data (cached)."""
+    params_snmf = SNMFParams(
+        r=int(params_model["r"]),
+        cf=params_model.get("cf", "ed"),
+        sparsity=float(params_model.get("lam1", params_model.get("sparsity", 1.0))),
+        max_iter=int(params_model.get("snmf_max_iter", 1000)),
+        conv_eps=float(params_model.get("snmf_conv_eps", 1e-4)),
+        random_seed=int(params_model.get("random_seed", 2016)),
+    )
+    from .utils.cache import snmf_cache_path
+
+    cache = snmf_cache_path(params_snmf, path_dicts, prefix="noisy")
+    if os.path.exists(cache) and not flag_recompute:
+        from .utils.cache import load_snmf
+
+        w_noisy, _, _ = load_snmf(cache, load_h=False)
+        return w_noisy, params_snmf
+
+    maxlen = params_data.get("maxlen", 500)
+    x, y, mask = load_tensors(
+        datasets["train"], params_data, maxlen,
+        cache_path=os.path.join(
+            folder_exp, f"tensors_train_ds{params_data.get('downsample', 1)}"
+            f"_maxlen{maxlen}.npz",
+        ),
+    )
+    x_frames = masked_seqs_to_frames(x, mask)
+    y_frames = masked_seqs_to_frames(y, mask)
+    w_noisy, _, _ = train_snmf(
+        y_frames, x_frames, params_snmf, path_dicts=path_dicts,
+        flag_recompute=flag_recompute, verbose=verbose,
+    )
+    return w_noisy, params_snmf
+
+
+def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
+                      flag_recompute=False, flag_score=True,
+                      compute_pesq=False, verbose=True, splits=("valid", "test")):
+    """The 'unfolded_snmf' branch of the reference driver
+    (enhance.py:933-1236)."""
+    ensure_experiment_dirs(folder_exp)
+    if path_dicts is None:
+        path_dicts = os.path.join(folder_exp, "dicts") + "/"
+        os.makedirs(path_dicts, exist_ok=True)
+
+    datasets = build_datasets(params_data)
+    w_noisy, params_snmf = _dict_from_config(
+        params_model, params_data, datasets, folder_exp, path_dicts,
+        flag_recompute, verbose,
+    )
+
+    r = int(params_model["r"])
+    input_dim = int(params_data["params_stft"]["N"]) // 2 + 1
+    config = DRNMFConfig(
+        input_dim=input_dim,
+        r=r,
+        output_dim=input_dim,
+        K_layers=int(params_model["K_layers"]),
+        alph=float(params_model["alph"]),
+        lam1=float(params_model["lam1"]),
+        mask_value=get_mask_value(
+            params_data.get("transform_x", "mag"),
+            params_data.get("transform_y", "mag"),
+        ),
+        untie_alph=bool(params_model.get("untie_alph", False)),
+        params_untied=tuple(params_model.get("params_untied", [])),
+        params_trainable=tuple(params_model.get("params_trainable", [])),
+        transform_before_irm=params_model.get("transform_before_irm"),
+    )
+    params = init_drnmf_params(config, w_noisy)
+
+    h = config_hash(params_model)
+    dump_yaml(params_model,
+              os.path.join(folder_exp, "configs", f"params_unfolded_snmf_{h}.yaml"))
+    savefile = os.path.join(folder_exp, "models", f"model_unfolded_snmf_{h}.npz")
+    histfile = os.path.join(folder_exp, "history", f"history_unfolded_snmf_{h}")
+
+    def loss_fn(p, x, y, mask):
+        irm = drnmf_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    if flag_recompute or not os.path.exists(savefile):
+        maxlen = params_data.get("maxlen", 500)
+        train_data = load_tensors(
+            datasets["train"], params_data, maxlen,
+            cache_path=os.path.join(
+                folder_exp,
+                f"tensors_train_ds{params_data.get('downsample', 1)}"
+                f"_maxlen{maxlen}.npz",
+            ),
+        )
+        valid_data = load_tensors(
+            datasets["valid"], params_data, maxlen,
+            cache_path=os.path.join(folder_exp, f"tensors_valid_maxlen{maxlen}.npz"),
+        )
+        if "savefile_init" in params_model:
+            init_params, _ = load_checkpoint(params_model["savefile_init"])
+            params = {k: np.asarray(v) for k, v in init_params.items()}
+        tc = TrainConfig(
+            epochs=int(params_model.get("epochs", 100)),
+            batch_size=int(params_model.get("batch_size", 32)),
+            learning_rate=float(params_model.get("learning_rate", 1e-3)),
+            clipnorm=float(params_model.get("clipnorm", 0.0)),
+            decay=float(params_model.get("decay", 0.0)),
+            patience=int(params_model.get("patience", 50)),
+            verbose=verbose,
+        )
+        best_params, _ = train_model(
+            params, loss_fn, train_data, valid_data, tc,
+            trainable_mask=drnmf_trainable_mask(config, params),
+            savefile=savefile, histfile=histfile,
+        )
+    else:
+        best_params, _ = load_checkpoint(savefile)
+        best_params = {k: np.asarray(v) for k, v in best_params.items()}
+
+    results = {}
+    if flag_score:
+        for split in splits:
+            if verbose:
+                print(f"Scoring {split} set...")
+            x, y, mask = load_tensors(
+                datasets[split], params_data, None,
+                cache_path=os.path.join(folder_exp, f"tensors_{split}_full.npz"),
+            )
+            irm = predict_irm(
+                lambda p, xb: drnmf_apply(p, config, xb), best_params, x
+            )
+            desc = f"unfolded_snmf_{h}_{split}"
+            reconstruct_split(datasets[split], irm, mask, desc)
+            results[split] = score_split(
+                datasets[split], desc, folder_exp + "/",
+                compute_pesq=compute_pesq, verbose=verbose,
+            )
+    return best_params, config, results
+
+
+def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
+             flag_score=True, compute_pesq=False, verbose=True,
+             splits=("valid", "test")):
+    """The 'lstm' branch (enhance.py:1239-1388)."""
+    ensure_experiment_dirs(folder_exp)
+    datasets = build_datasets(params_data)
+    input_dim = int(params_data["params_stft"]["N"]) // 2 + 1
+    config = LSTMConfig(
+        input_dim=input_dim,
+        hidden_dim=int(params_model["hidden_dim"]),
+        output_dim=input_dim,
+        K_layers=int(params_model["K_layers"]),
+        mask_value=get_mask_value(
+            params_data.get("transform_x", "mag"),
+            params_data.get("transform_y", "mag"),
+        ),
+    )
+    params = init_lstm_params(config)
+
+    h = config_hash(params_model)
+    dump_yaml(params_model,
+              os.path.join(folder_exp, "configs", f"params_lstm_{h}.yaml"))
+    savefile = os.path.join(folder_exp, "models", f"model_lstm_{h}.npz")
+    histfile = os.path.join(folder_exp, "history", f"history_lstm_{h}")
+
+    def loss_fn(p, x, y, mask):
+        irm = lstm_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    if flag_recompute or not os.path.exists(savefile):
+        maxlen = params_data.get("maxlen", 500)
+        train_data = load_tensors(
+            datasets["train"], params_data, maxlen,
+            cache_path=os.path.join(
+                folder_exp,
+                f"tensors_train_ds{params_data.get('downsample', 1)}"
+                f"_maxlen{maxlen}.npz",
+            ),
+        )
+        valid_data = load_tensors(
+            datasets["valid"], params_data, maxlen,
+            cache_path=os.path.join(folder_exp, f"tensors_valid_maxlen{maxlen}.npz"),
+        )
+        tc = TrainConfig(
+            epochs=int(params_model.get("epochs", 100)),
+            batch_size=int(params_model.get("batch_size", 32)),
+            learning_rate=float(params_model.get("learning_rate", 1e-4)),
+            clipnorm=float(params_model.get("clipnorm", 1.0)),
+            patience=int(params_model.get("patience", 50)),
+            verbose=verbose,
+        )
+        best_params, _ = train_model(
+            params, loss_fn, train_data, valid_data, tc,
+            savefile=savefile, histfile=histfile,
+        )
+    else:
+        best_params, _ = load_checkpoint(savefile)
+        best_params = {k: np.asarray(v) for k, v in best_params.items()}
+
+    results = {}
+    if flag_score:
+        for split in splits:
+            x, y, mask = load_tensors(
+                datasets[split], params_data, None,
+                cache_path=os.path.join(folder_exp, f"tensors_{split}_full.npz"),
+            )
+            irm = predict_irm(
+                lambda p, xb: lstm_apply(p, config, xb), best_params, x
+            )
+            desc = f"lstm_{h}_{split}"
+            reconstruct_split(datasets[split], irm, mask, desc)
+            results[split] = score_split(
+                datasets[split], desc, folder_exp + "/",
+                compute_pesq=compute_pesq, verbose=verbose,
+            )
+    return best_params, config, results
+
+
+def run_snmf(params_model, params_data, folder_exp, path_dicts=None,
+             flag_recompute=False, flag_score=True, compute_pesq=False,
+             verbose=True, splits=("valid", "test")):
+    """The 'snmf' branch (enhance.py:750-928): dictionary + frozen-W MU
+    inference as the enhancer."""
+    ensure_experiment_dirs(folder_exp)
+    if path_dicts is None:
+        path_dicts = os.path.join(folder_exp, "dicts") + "/"
+        os.makedirs(path_dicts, exist_ok=True)
+
+    datasets = build_datasets(params_data)
+    w_noisy, params_snmf = _dict_from_config(
+        params_model, params_data, datasets, folder_exp, path_dicts,
+        flag_recompute, verbose,
+    )
+    h = config_hash(params_model)
+    dump_yaml(params_model,
+              os.path.join(folder_exp, "configs", f"params_snmf_{h}.yaml"))
+    histfile = os.path.join(folder_exp, "history", f"history_snmf_{h}")
+
+    results = {}
+    if flag_score:
+        for split in splits:
+            x, y, mask = load_tensors(
+                datasets[split], params_data, None,
+                cache_path=os.path.join(folder_exp, f"tensors_{split}_full.npz"),
+            )
+            x_frames = masked_seqs_to_frames(x, mask)
+            irm_frames, _ = snmf_infer_irm(
+                x_frames, w_noisy, params_snmf,
+                max_iter=int(params_model.get("infer_max_iter", 200)),
+            )
+            if split == "valid":
+                y_frames = masked_seqs_to_frames(y, mask)
+                val_loss = float(np.mean((irm_frames * x_frames - y_frames) ** 2))
+                with open(histfile, "wb") as f:
+                    pickle.dump({"on_epoch_end": {"val_loss": [val_loss]}}, f)
+                if verbose:
+                    print(f"SNMF signal-approximation val_loss: {val_loss:.6f}")
+            desc = f"snmf_{h}_{split}"
+            ds = datasets[split]
+            for j in range(len(ds.x_wavfiles)):
+                ds.reconstruct_audio(
+                    desc, idx=j,
+                    irm=irm_frames[:, ds.fidx[j, 0] : ds.fidx[j, 1]],
+                )
+            results[split] = score_split(
+                ds, desc, folder_exp + "/",
+                compute_pesq=compute_pesq, verbose=verbose,
+            )
+    return w_noisy, params_snmf, results

@@ -1,0 +1,140 @@
+"""End-to-end pipeline tests on the synthetic corpus: the full reference
+flow (featurize -> SNMF dict -> DR-NMF train -> enhance -> score) in
+miniature, for all three model families."""
+
+import os
+
+import numpy as np
+import pytest
+
+from drnmf_tpu.data import make_synthetic_corpus
+from drnmf_tpu import pipeline
+from drnmf_tpu.cli import dispatch_model_type
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    taskfiles = make_synthetic_corpus(str(root / "audio"), n_files=6,
+                                      min_sec=0.5, max_sec=0.9)
+    params_data = {
+        "taskfile_x_train": taskfiles["noisy"],
+        "taskfile_y_train": taskfiles["clean"],
+        "taskfile_x_valid": taskfiles["noisy"],
+        "taskfile_y_valid": taskfiles["clean"],
+        "taskfile_x_test": taskfiles["noisy"],
+        "taskfile_y_test": taskfiles["clean"],
+        "transform_x": "mag",
+        "transform_y": "mag",
+        "params_stft": {"N": 256, "hop": 64, "nch": 1},
+        "maxlen": 60,
+        "downsample": 1,
+    }
+    folder_exp = str(root / "exp")
+    return params_data, folder_exp
+
+
+MODEL_SMALL = {
+    "K_layers": 2,
+    "r": 8,
+    "alph": 10.0,
+    "lam1": 0.5,
+    "epochs": 3,
+    "batch_size": 4,
+    "learning_rate": 1e-3,
+    "clipnorm": 0.0,
+    "patience": 50,
+    "params_untied": ["log_D", "log_alph"],
+    "params_trainable": ["log_D", "log_alph"],
+    "snmf_max_iter": 30,
+    "snmf_conv_eps": 1e-4,
+}
+
+
+def test_unfolded_snmf_end_to_end(setup):
+    params_data, folder_exp = setup
+    best, config, results = pipeline.run_unfolded_snmf(
+        MODEL_SMALL, params_data, folder_exp, verbose=False,
+        splits=("valid",),
+    )
+    overall, per_snr = results["valid"]
+    assert overall.shape == (1, 6)
+    # enhancement should beat doing nothing on SDR for at least most files;
+    # sanity: scores are finite
+    assert np.all(np.isfinite(overall[:, [0, 1, 2, 3, 5]]))
+    # artifacts exist
+    assert os.path.isdir(os.path.join(folder_exp, "models"))
+    assert any(f.startswith("model_unfolded_snmf") for f in
+               os.listdir(os.path.join(folder_exp, "models")))
+
+    # rerun hits every cache (no retrain): same results
+    best2, _, results2 = pipeline.run_unfolded_snmf(
+        MODEL_SMALL, params_data, folder_exp, verbose=False, splits=("valid",),
+    )
+    np.testing.assert_array_equal(results2["valid"][0], overall)
+
+
+def test_snmf_end_to_end(setup):
+    params_data, folder_exp = setup
+    model = {"r": 8, "lam1": 0.5, "snmf_max_iter": 30, "infer_max_iter": 30}
+    w, p, results = pipeline.run_snmf(
+        model, params_data, folder_exp, verbose=False, splits=("valid",),
+    )
+    assert w.shape[1] == 16
+    overall, _ = results["valid"]
+    assert np.all(np.isfinite(overall[:, [0, 1, 2, 3, 5]]))
+    # val_loss histfile written in reference layout
+    import pickle, glob
+
+    hists = glob.glob(os.path.join(folder_exp, "history", "history_snmf_*"))
+    assert hists
+    with open(hists[0], "rb") as f:
+        h = pickle.load(f)
+    assert "val_loss" in h["on_epoch_end"]
+
+
+def test_lstm_end_to_end(setup):
+    params_data, folder_exp = setup
+    model = {
+        "K_layers": 1, "hidden_dim": 16, "epochs": 2, "batch_size": 4,
+        "learning_rate": 1e-3, "clipnorm": 1.0, "patience": 50,
+    }
+    best, config, results = pipeline.run_lstm(
+        model, params_data, folder_exp, verbose=False, splits=("valid",),
+    )
+    overall, _ = results["valid"]
+    assert np.all(np.isfinite(overall[:, [0, 1, 2, 3, 5]]))
+
+
+def test_model_dispatch():
+    assert dispatch_model_type("params_unfolded_snmf_abc.yaml") == "unfolded_snmf"
+    assert dispatch_model_type("configs/params_snmf_x.yaml") == "snmf"
+    assert dispatch_model_type("params_lstm_1.yaml") == "lstm"
+    with pytest.raises(ValueError):
+        dispatch_model_type("params_foo.yaml")
+
+
+def test_cli_smoke(setup, tmp_path):
+    """CLI -c/-d invocation end to end (train only, no scoring)."""
+    from drnmf_tpu.utils import dump_yaml
+    from drnmf_tpu.cli import main
+
+    params_data, folder_exp = setup
+    cfg = dict(MODEL_SMALL)
+    cfg["epochs"] = 1
+    c_path = str(tmp_path / "params_unfolded_snmf_test.yaml")
+    d_path = str(tmp_path / "params_data.yaml")
+    dump_yaml(cfg, c_path)
+    dump_yaml(params_data, d_path)
+    main(["-c", c_path, "-d", d_path, "--exp-dir", folder_exp,
+          "--no-score", "-q"])
+
+
+def test_reporting(setup):
+    from drnmf_tpu.reporting import summarize_experiment, latex_table
+
+    _, folder_exp = setup
+    rows = summarize_experiment(folder_exp)
+    assert any("unfolded_snmf" in r["model"] for r in rows)
+    table = latex_table([("drnmf", 2, 16, 1000, 0.123, 8.5)])
+    assert "drnmf" in table and r"\\" in table
