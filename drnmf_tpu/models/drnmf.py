@@ -59,6 +59,8 @@ class DRNMFConfig:
     params_untied: tuple = ("log_D", "log_alph")
     params_trainable: tuple = ("log_D", "log_alph")
     transform_before_irm: Optional[str] = None  # None | 'square'
+    use_pallas: bool = False  # fused VMEM-resident recurrence kernel
+    pallas_interpret: bool = False  # interpreter mode (CPU tests)
 
     @property
     def hidden_dim(self) -> int:
@@ -170,6 +172,20 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
     h0 = jax.nn.softplus(params["log_h0"])
     bsz = x.shape[0]
     h_init = jnp.broadcast_to(h0[None, :], (bsz, config.hidden_dim))
+
+    if config.use_pallas:
+        from ..ops.pallas import drnmf_scan_pallas
+
+        n2r = config.hidden_dim
+        s_stack = (
+            jnp.stack(S) if S else jnp.zeros((1, n2r, n2r), jnp.float32)
+        )
+        return drnmf_scan_pallas(
+            x, step_mask, h_init,
+            U[0], U[1] if K > 1 else jnp.zeros_like(U[0]),
+            s_stack, jnp.stack(W), jnp.stack(b),
+            interpret=config.pallas_interpret,
+        )
 
     xT = jnp.swapaxes(x, 0, 1)  # (T, B, F)
     mT = jnp.swapaxes(step_mask, 0, 1)  # (T, B)
