@@ -62,10 +62,23 @@ def compute_stfts(wavfiles, params_stft, verbose=False):
 
     signals = []
     nframes = []
-    for wf in wavfiles:
-        x = wavread(wf)[:nch]  # (nch, nsampl)
-        signals.append(x)
-        nframes.append(n_frames_for_length(x.shape[1], n_fft, hop))
+    use_native = False
+    if nch == 1:
+        from .native_loader import native_available
+
+        use_native = native_available()
+    if use_native:
+        from .native_loader import read_batch
+
+        data, lengths = read_batch(list(wavfiles))
+        for i in range(len(wavfiles)):
+            signals.append(data[i : i + 1, : lengths[i]])
+            nframes.append(n_frames_for_length(int(lengths[i]), n_fft, hop))
+    else:
+        for wf in wavfiles:
+            x = wavread(wf)[:nch]  # (nch, nsampl)
+            signals.append(x)
+            nframes.append(n_frames_for_length(x.shape[1], n_fft, hop))
 
     total = int(np.sum(nframes))
     stack = np.empty((2 * nch * f_bins, total), np.float32)

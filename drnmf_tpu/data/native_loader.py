@@ -1,0 +1,121 @@
+"""ctypes bindings for the native batch wav loader (native/wavio.cpp).
+
+Falls back to the scipy-based reader transparently when the shared library
+is missing; ``ensure_built()`` compiles it on demand with the in-image g++.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libdrnmfio.so"))
+
+_lib = None
+
+
+def ensure_built(quiet=True):
+    """Build libdrnmfio.so if absent.  Returns True when available."""
+    if os.path.exists(_SO_PATH):
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=quiet,
+        )
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not ensure_built():
+        return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.wav_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.wav_info.restype = ctypes.c_int
+    lib.wav_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+        ctypes.c_int64,
+    ]
+    lib.wav_read.restype = ctypes.c_int
+    lib.wav_read_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    lib.wav_read_batch.restype = ctypes.c_int
+    lib.wav_write.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.wav_write.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def wav_info(path):
+    lib = get_lib()
+    nsampl = ctypes.c_int64()
+    nch = ctypes.c_int32()
+    fs = ctypes.c_int32()
+    rc = lib.wav_info(path.encode(), ctypes.byref(nsampl), ctypes.byref(nch),
+                      ctypes.byref(fs))
+    if rc != 0:
+        raise IOError(f"wav_info failed ({rc}) for {path}")
+    return int(nsampl.value), int(nch.value), int(fs.value)
+
+
+def read_batch(paths, n_threads=0):
+    """Parallel-decode channel 0 of many wav files.
+
+    Returns (data (n, max_len) float32 zero-padded, lengths (n,) int64).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native loader not built")
+    n = len(paths)
+    max_len = 0
+    for p in paths:
+        nsampl, _, _ = wav_info(p)
+        max_len = max(max_len, nsampl)
+    data = np.zeros((n, max_len), np.float32)
+    lengths = np.zeros(n, np.int64)
+    rcs = np.zeros(n, np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    bad = lib.wav_read_batch(
+        c_paths,
+        n,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_len,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    if bad:
+        failed = [paths[i] for i in range(n) if rcs[i] != 0]
+        raise IOError(f"{bad} wav decodes failed, first: {failed[:3]}")
+    return data, lengths
