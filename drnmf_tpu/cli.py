@@ -53,7 +53,10 @@ def main(argv=None):
 
     params_model = load_yaml(args.config)
     params_data = load_yaml(args.data)
-    model_type = dispatch_model_type(args.config)
+    try:
+        model_type = dispatch_model_type(args.config)
+    except ValueError as e:
+        parser.error(str(e))
 
     folder_exp = args.exp_dir or (
         "data_setup_downsample%d" % params_data.get("downsample", 1)

@@ -42,12 +42,14 @@ def _bucket_total(nsampl: int, n_fft: int, hop: int) -> int:
     return -(-need // _BUCKET) * _BUCKET
 
 
-def compute_stfts(wavfiles, params_stft, verbose=False):
+def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False):
     """Featurize a list of wav files.
 
     Returns (stack, fidx): stack is the real-composite (2*nch*F, total_frames)
     float32 array, fidx (n_files, 2) int32 frame ranges -- the exact layout of
-    the reference's ``compute_STFTs`` (util.py:310-352).
+    the reference's ``compute_STFTs`` (util.py:310-352).  With
+    ``flag_unwrap_phase`` the window-hop phases are removed per file before
+    stacking (util.py:338-344).
     """
     import jax.numpy as jnp
 
@@ -109,6 +111,10 @@ def compute_stfts(wavfiles, params_stft, verbose=False):
         for row, i in enumerate(idxs):
             nf = nframes[i]
             s = spec[row, :, :nf, :]  # (nch, nf, F)
+            if flag_unwrap_phase:
+                from ..dsp.phase import remove_hop_phase
+
+                s = np.asarray(remove_hop_phase(jnp.asarray(s), n_fft, hop))
             # reference layout: (F, nch, nfram) -> (nch*F, nfram) Fortran order
             # == channel-major stacking of F-rows; equivalently for nch==1 it
             # is just (F, nfram).
@@ -149,7 +155,8 @@ class AudioDataset:
     """
 
     def __init__(self, taskfile_input, taskfile_output, datafile=None,
-                 params_stft=None, downsample=1, verbose=False):
+                 params_stft=None, downsample=1, verbose=False,
+                 flag_unwrap_phase=False):
         if params_stft is None:
             params_stft = {"N": 512, "hop": 128, "nch": 1}
         self.taskfile_input = taskfile_input
@@ -159,6 +166,7 @@ class AudioDataset:
         self.params_stft["window"] = sqrt_hann_periodic(int(params_stft["N"]))
         self.downsample = downsample
         self.verbose = verbose
+        self.flag_unwrap_phase = flag_unwrap_phase
         self._load()
 
     def _load(self):
@@ -179,8 +187,10 @@ class AudioDataset:
         x_wavfiles = _read_taskfile(self.taskfile_input)[:: self.downsample]
         y_wavfiles = _read_taskfile(self.taskfile_output)[:: self.downsample]
 
-        x_stack, x_fidx = compute_stfts(x_wavfiles, self.params_stft, self.verbose)
-        y_stack, y_fidx = compute_stfts(y_wavfiles, self.params_stft, self.verbose)
+        x_stack, x_fidx = compute_stfts(x_wavfiles, self.params_stft, self.verbose,
+                                        flag_unwrap_phase=self.flag_unwrap_phase)
+        y_stack, y_fidx = compute_stfts(y_wavfiles, self.params_stft, self.verbose,
+                                        flag_unwrap_phase=self.flag_unwrap_phase)
 
         if not np.array_equal(x_fidx, y_fidx):
             if np.all(x_fidx[:, 1] - x_fidx[:, 0] >= y_fidx[:, 1] - y_fidx[:, 0]):

@@ -8,6 +8,7 @@ from .stft import (
     padded_length,
 )
 from .wav import wavread, wavwrite
+from .phase import aug_stft, iaug_stft, remove_hop_phase, add_hop_phase
 
 __all__ = [
     "hann_periodic",
@@ -20,4 +21,8 @@ __all__ = [
     "padded_length",
     "wavread",
     "wavwrite",
+    "aug_stft",
+    "iaug_stft",
+    "remove_hop_phase",
+    "add_hop_phase",
 ]

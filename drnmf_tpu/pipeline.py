@@ -30,6 +30,7 @@ from .train import (
     TrainConfig,
     train_model,
     masked_mse_signal_approx,
+    snmf_pretrain_loss,
     train_snmf,
     load_checkpoint,
 )
@@ -205,7 +206,14 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
         irm = drnmf_apply(p, config, x)
         return masked_mse_signal_approx(irm, x, y, mask)
 
-    if flag_recompute or not os.path.exists(savefile):
+    pretrain = bool(params_model.get("pretrain_with_snmf_cost", False))
+    savefile_pretrain = savefile.replace(".npz", "_pretrain.npz")
+    need_train = flag_recompute or not os.path.exists(savefile)
+    need_pretrain = pretrain and (
+        flag_recompute or not os.path.exists(savefile_pretrain)
+    )
+
+    if need_train or need_pretrain:
         maxlen = params_data.get("maxlen", 500)
         train_data = load_tensors(
             datasets["train"], params_data, maxlen,
@@ -219,9 +227,6 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
             datasets["valid"], params_data, maxlen,
             cache_path=os.path.join(folder_exp, f"tensors_valid_maxlen{maxlen}.npz"),
         )
-        if "savefile_init" in params_model:
-            init_params, _ = load_checkpoint(params_model["savefile_init"])
-            params = {k: np.asarray(v) for k, v in init_params.items()}
         tc = TrainConfig(
             epochs=int(params_model.get("epochs", 100)),
             batch_size=int(params_model.get("batch_size", 32)),
@@ -231,6 +236,35 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
             patience=int(params_model.get("patience", 50)),
             verbose=verbose,
         )
+
+    if pretrain:
+        # SNMF-cost pretraining (enhance.py:1024-1120): minimize the unfolded
+        # network's own sparse-coding objective 0.5*MSE(clean+noise, x) +
+        # lam1*(2r/F)*L1(h), best-val checkpointed, then warm-start the
+        # signal-approximation training from those weights.
+        lam1 = float(params_model["lam1"])
+
+        def pretrain_loss_fn(p, x, y, mask):
+            _, hidden, clean_est, noise_est = drnmf_apply(
+                p, config, x, return_parts=True
+            )
+            return snmf_pretrain_loss(clean_est, noise_est, hidden, x, mask, lam1)
+
+        if need_pretrain:
+            if verbose:
+                print("Pretraining with the SNMF cost...")
+            train_model(
+                params, pretrain_loss_fn, train_data, valid_data, tc,
+                trainable_mask=drnmf_trainable_mask(config, params),
+                savefile=savefile_pretrain, histfile=histfile + "_pretrain",
+            )
+        pre_params, _ = load_checkpoint(savefile_pretrain)
+        params = {k: np.asarray(v) for k, v in pre_params.items()}
+
+    if need_train:
+        if "savefile_init" in params_model:
+            init_params, _ = load_checkpoint(params_model["savefile_init"])
+            params = {k: np.asarray(v) for k, v in init_params.items()}
         best_params, _ = train_model(
             params, loss_fn, train_data, valid_data, tc,
             trainable_mask=drnmf_trainable_mask(config, params),

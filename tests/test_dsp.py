@@ -138,3 +138,45 @@ def test_wav_roundtrip(tmp_path, rng):
     # write scales by 32767 but read divides by 32768 (reference convention),
     # so round-trip error is ~x/32768 + quantization
     np.testing.assert_allclose(xr, x, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# phase-augmented features (reference AugSTFT/iAugSTFT, util.py:228-281)
+# ---------------------------------------------------------------------------
+
+def test_hop_phase_remove_add_roundtrip(rng):
+    import jax.numpy as jnp
+    from drnmf_tpu.dsp import remove_hop_phase, add_hop_phase
+
+    n_fft, hop = 256, 64
+    x = rng.standard_normal(4000).astype(np.float32)
+    spec = stft(x, n_fft, hop)
+    removed = remove_hop_phase(spec, n_fft, hop)
+    # magnitudes untouched
+    np.testing.assert_allclose(
+        np.abs(np.asarray(removed)), np.abs(np.asarray(spec)), rtol=1e-5, atol=1e-6
+    )
+    # remove -> add recovers the complex spectrogram exactly (the rewrap-error
+    # correction makes the unwrap lossless, util.py:235-237)
+    # float32 phase accumulation (hop phases reach ~1e4 rad) bounds the
+    # roundtrip to ~1e-3 relative, same as the reference's float32 path
+    back = add_hop_phase(removed, n_fft, hop)
+    err = np.abs(np.asarray(back) - np.asarray(spec))
+    scale = np.abs(np.asarray(spec)).max()
+    assert err.max() / scale < 5e-3
+
+
+@pytest.mark.parametrize("unwrap", [False, True])
+def test_aug_stft_time_domain_roundtrip(rng, unwrap):
+    from drnmf_tpu.dsp import aug_stft, iaug_stft
+
+    n_fft, hop = 256, 64
+    f_bins = n_fft // 2 + 1
+    x = rng.standard_normal(3000).astype(np.float32) * 0.1
+    X = aug_stft(x, n_fft, hop, flag_unwrap_phase=unwrap)
+    assert X.shape[0] == 2 * f_bins
+    xr = iaug_stft(X, f_bins, nsrc=1, flag_unwrap_phase=unwrap, hop=hop)
+    assert xr.shape[0] == 1 and xr.shape[2] == 1
+    y = xr[0, : len(x), 0]
+    nmse = np.mean((y - x) ** 2) / np.mean(x**2)
+    assert nmse < (1e-4 if unwrap else 1e-6)

@@ -138,3 +138,26 @@ def test_reporting(setup):
     assert any("unfolded_snmf" in r["model"] for r in rows)
     table = latex_table([("drnmf", 2, 16, 1000, 0.123, 8.5)])
     assert "drnmf" in table and r"\\" in table
+
+
+def test_unfolded_snmf_pretrain_with_snmf_cost(setup):
+    """SNMF-cost pretraining path (enhance.py:1024-1120): pretrain artifacts
+    are written and the main training warm-starts from them."""
+    params_data, folder_exp = setup
+    model = dict(MODEL_SMALL)
+    model["pretrain_with_snmf_cost"] = True
+    model["epochs"] = 2
+    best, config, results = pipeline.run_unfolded_snmf(
+        model, params_data, folder_exp, verbose=False, splits=(),
+        flag_score=False,
+    )
+    models_dir = os.path.join(folder_exp, "models")
+    hist_dir = os.path.join(folder_exp, "history")
+    assert any(f.endswith("_pretrain.npz") for f in os.listdir(models_dir))
+    assert any(f.endswith("_pretrain") for f in os.listdir(hist_dir))
+    # pretrain history records a finite SNMF-cost val loss
+    import pickle
+    pre_hist = [f for f in os.listdir(hist_dir) if f.endswith("_pretrain")][0]
+    with open(os.path.join(hist_dir, pre_hist), "rb") as f:
+        hist = pickle.load(f)
+    assert np.all(np.isfinite(hist["on_epoch_end"]["val_loss"]))
