@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""WASPAA 2017 paper replication: generate the full model grid and run it.
+
+Equivalent of the reference's run_waspaa2017.sh:1-76 -- the 10-model grid
+(param-count-matched SNMF / LSTM / DR-NMF pairs, BASELINE.md "Model grid")
+trained and scored on 10% (downsample=10) then 100% (downsample=1) of the
+CHiME2 training set, followed by the score table (print_scores.py
+equivalent) and learning curves.
+
+Grid (run_waspaa2017.sh:14-35):
+    SNMF    r=100            SNMF    r=1000
+    LSTM    K=2 N=54         DR-NMF  K=2 r=100  (2r=200)
+    LSTM    K=5 N=70         DR-NMF  K=5 r=100
+    LSTM    K=2 N=244        DR-NMF  K=2 r=1000 (2r=2000)
+    LSTM    K=5 N=250        DR-NMF  K=5 r=1000
+
+Usage:
+    python scripts/create_taskfiles.py /path/to/chime2   # taskfiles first
+    python scripts/run_waspaa2017.py                     # full replication
+    python scripts/run_waspaa2017.py --generate-only     # just write configs
+    python scripts/run_waspaa2017.py --downsamples 10    # 10% condition only
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from drnmf_tpu.utils import config_hash, dump_yaml  # noqa: E402
+
+
+# ISTA step sizes per dictionary size (reference enhance.py:608-614)
+ALPH_BY_R = {100: 50.0, 500: 200.0, 1000: 400.0}
+
+
+def snmf_config(r):
+    return {
+        "r": r,
+        "lam1": 1.0,
+        "cf": "ed",
+        "snmf_max_iter": 1000,
+        "snmf_conv_eps": 1e-4,
+        "infer_max_iter": 200,
+        "random_seed": 2016,
+    }
+
+
+def drnmf_config(K, r):
+    return {
+        "K_layers": K,
+        "r": r,
+        "alph": ALPH_BY_R[r],
+        "lam1": 1.0,
+        "batch_size": 32,
+        "clipnorm": 0.0,
+        "epochs": 1200 if (K == 5 and r == 1000) else 400,
+        "learning_rate": 1e-3,
+        "loss": "mse_of_masked",
+        "optimizer": "adam",
+        "params_trainable": ["log_D", "log_alph"],
+        "params_untied": ["log_D", "log_alph"],
+        "patience": 50,
+        "snmf_max_iter": 1000,
+        "snmf_conv_eps": 1e-4,
+    }
+
+
+def lstm_config(K, hidden):
+    return {
+        "K_layers": K,
+        "hidden_dim": hidden,
+        "batch_size": 32,
+        "clipnorm": 1.0,
+        "epochs": 400,
+        "learning_rate": 1e-4,
+        "loss": "mse_of_masked",
+        "optimizer": "adam",
+        "patience": 50,
+    }
+
+
+# (model_type, config) in the reference's run order (SNMF dictionaries first:
+# their cached dictionaries initialize the DR-NMF models)
+GRID = [
+    ("snmf", snmf_config(100)),
+    ("snmf", snmf_config(1000)),
+    ("lstm", lstm_config(2, 54)),
+    ("unfolded_snmf", drnmf_config(2, 100)),
+    ("lstm", lstm_config(5, 70)),
+    ("unfolded_snmf", drnmf_config(5, 100)),
+    ("lstm", lstm_config(2, 244)),
+    ("unfolded_snmf", drnmf_config(2, 1000)),
+    ("lstm", lstm_config(5, 250)),
+    ("unfolded_snmf", drnmf_config(5, 1000)),
+]
+
+
+def data_config(downsample, taskfile_dir="."):
+    cfg = {
+        "downsample": downsample,
+        "maxlen": 500,
+        "params_stft": {"N": 512, "hop": 128, "nch": 1},
+        "transform_x": "mag",
+        "transform_y": "mag",
+        "datafile_train": f"chime2_si_tr_s_ds{downsample}.hdf5",
+        "datafile_valid": "chime2_si_dt_05.hdf5",
+        "datafile_test": "chime2_si_et_05.hdf5",
+    }
+    for split, (x, y) in {
+        "train": ("train_noisy", "train_clean"),
+        "valid": ("valid_noisy", "valid_clean"),
+        "test": ("test_noisy", "test_clean"),
+    }.items():
+        cfg[f"taskfile_x_{split}"] = os.path.join(
+            taskfile_dir, f"taskfile_chime2_{x}.txt")
+        cfg[f"taskfile_y_{split}"] = os.path.join(
+            taskfile_dir, f"taskfile_chime2_{y}.txt")
+    return cfg
+
+
+def generate_configs(downsample, taskfile_dir="."):
+    """Write params_data.yaml + the hashed model-config grid for one setup.
+    Returns (data_config_path, [model_config_paths in run order])."""
+    setup = f"data_setup_downsample{downsample}"
+    os.makedirs(os.path.join(setup, "configs"), exist_ok=True)
+    data_path = os.path.join(setup, "params_data.yaml")
+    dump_yaml(data_config(downsample, taskfile_dir), data_path)
+    model_paths = []
+    for model_type, cfg in GRID:
+        h = config_hash(cfg)
+        path = os.path.join(setup, "configs", f"params_{model_type}_{h}.yaml")
+        dump_yaml(cfg, path)
+        model_paths.append(path)
+    return data_path, model_paths
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--downsamples", default="10,1",
+                        help="comma-separated downsample conditions")
+    parser.add_argument("--taskfile-dir", default=".")
+    parser.add_argument("--generate-only", action="store_true",
+                        help="write configs without training")
+    parser.add_argument("--dry-run", action="store_true",
+                        help="print the commands without running")
+    parser.add_argument("--pesq", action="store_true")
+    args = parser.parse_args()
+
+    from drnmf_tpu import cli
+
+    try:
+        downsamples = [int(d) for d in args.downsamples.split(",")]
+    except ValueError:
+        parser.error(f"--downsamples must be comma-separated integers, "
+                     f"got '{args.downsamples}'")
+
+    for ds in downsamples:
+        data_path, model_paths = generate_configs(ds, args.taskfile_dir)
+        print(f"== data setup downsample{ds}: {data_path}")
+        for mp in model_paths:
+            print(f"   {mp}")
+        if args.generate_only:
+            continue
+        for mp in model_paths:
+            argv = ["-c", mp, "-d", data_path]
+            if args.pesq:
+                argv.append("--pesq")
+            print(f"== run: python -m drnmf_tpu.cli {' '.join(argv)}")
+            if not args.dry_run:
+                cli.main(argv)
+
+    if args.generate_only or args.dry_run:
+        return
+
+    # score table (print_scores.py equivalent)
+    from drnmf_tpu.reporting import summarize_experiment
+
+    for ds in downsamples:
+        setup = f"data_setup_downsample{ds}"
+        rows = summarize_experiment(setup)
+        print(f"\n== {setup} results")
+        for row in rows:
+            sdr = f"{row['mean_sdr']:.2f}" if row["mean_sdr"] is not None else "-"
+            print(f"  {row['model']}: val_loss {row['val_loss']:.5f}  SDR {sdr}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Orchestration script tests (reference create_taskfiles.sh,
+run_waspaa2017.sh, score_audio.sh equivalents)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "scripts")
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+
+
+def run(args, cwd):
+    return subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=ENV,
+        capture_output=True, text=True, timeout=600,
+    )
+
+
+def test_create_taskfiles(tmp_path):
+    # fake CHiME2 layout
+    for tree in ("isolated", "scaled"):
+        for subset in ("si_tr_s", "si_dt_05", "si_et_05"):
+            d = tmp_path / "chime2" / tree / subset / "0dB"
+            d.mkdir(parents=True)
+            for i in range(2):
+                (d / f"utt{i}.wav").write_bytes(b"RIFF")
+    r = run([os.path.join(SCRIPTS, "create_taskfiles.py"),
+             str(tmp_path / "chime2"), "--out-dir", str(tmp_path)], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    for split in ("train", "valid", "test"):
+        for cond in ("noisy", "clean"):
+            tf = tmp_path / f"taskfile_chime2_{split}_{cond}.txt"
+            lines = tf.read_text().splitlines()
+            assert len(lines) == 2
+            assert lines == sorted(lines)
+
+
+def test_run_waspaa2017_generate_only(tmp_path):
+    r = run([os.path.join(SCRIPTS, "run_waspaa2017.py"), "--generate-only"],
+            str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    for ds in (10, 1):
+        setup = tmp_path / f"data_setup_downsample{ds}"
+        assert (setup / "params_data.yaml").is_file()
+        cfgs = os.listdir(setup / "configs")
+        assert len(cfgs) == 10
+        assert sum(c.startswith("params_unfolded_snmf_") for c in cfgs) == 4
+        assert sum(c.startswith("params_lstm_") for c in cfgs) == 4
+        assert sum(c.startswith("params_snmf_") for c in cfgs) == 2
+    # hashed names are deterministic across the two setups
+    a = sorted(os.listdir(tmp_path / "data_setup_downsample1" / "configs"))
+    b = sorted(os.listdir(tmp_path / "data_setup_downsample10" / "configs"))
+    assert a == b
+
+
+def test_score_audio_taskfiles(tmp_path, rng):
+    from drnmf_tpu.dsp import wavwrite
+
+    enh_list, ref_list = [], []
+    for i in range(2):
+        ref = rng.standard_normal(8000).astype(np.float32) * 0.1
+        enh = ref + rng.standard_normal(8000).astype(np.float32) * 0.01
+        rp, ep = tmp_path / f"ref{i}.wav", tmp_path / f"enh{i}.wav"
+        wavwrite(str(rp), 16000, ref[None])
+        wavwrite(str(ep), 16000, enh[None])
+        ref_list.append(str(rp))
+        enh_list.append(str(ep))
+    (tmp_path / "ref.txt").write_text("\n".join(ref_list) + "\n")
+    (tmp_path / "enh.txt").write_text("\n".join(enh_list) + "\n")
+    save = tmp_path / "scores.npz"
+    r = run([os.path.join(SCRIPTS, "score_audio.py"),
+             "--enh", str(tmp_path / "enh.txt"),
+             "--ref", str(tmp_path / "ref.txt"),
+             "--savefile", str(save)], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "mean SDR" in r.stdout
+    S = np.load(save)["S"]
+    assert S.shape == (2, 6)
+    assert np.all(S[:, 0] > 10)  # near-clean estimates: high SDR
+
+
+def test_score_audio_length_mismatch(tmp_path):
+    (tmp_path / "enh.txt").write_text("a.wav\nb.wav\n")
+    (tmp_path / "ref.txt").write_text("a.wav\n")
+    r = run([os.path.join(SCRIPTS, "score_audio.py"),
+             "--enh", str(tmp_path / "enh.txt"),
+             "--ref", str(tmp_path / "ref.txt")], str(tmp_path))
+    assert r.returncode == 2
+    assert "mismatch" in r.stderr
