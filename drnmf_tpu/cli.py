@@ -48,6 +48,9 @@ def main(argv=None):
     parser.add_argument("--pesq", action="store_true",
                         help="also compute PESQ (opt-in, like the reference)")
     parser.add_argument("--splits", default="valid,test")
+    parser.add_argument("--trace", default=None, metavar="DIR",
+                        help="write a jax.profiler trace to DIR "
+                        "(TensorBoard/Perfetto-viewable)")
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -70,12 +73,16 @@ def main(argv=None):
         splits=splits,
     )
 
-    if model_type == "unfolded_snmf":
-        pipeline.run_unfolded_snmf(params_model, params_data, folder_exp, **common)
-    elif model_type == "lstm":
-        pipeline.run_lstm(params_model, params_data, folder_exp, **common)
-    else:
-        pipeline.run_snmf(params_model, params_data, folder_exp, **common)
+    from .utils import trace
+
+    with trace(args.trace):
+        if model_type == "unfolded_snmf":
+            pipeline.run_unfolded_snmf(params_model, params_data, folder_exp,
+                                       **common)
+        elif model_type == "lstm":
+            pipeline.run_lstm(params_model, params_data, folder_exp, **common)
+        else:
+            pipeline.run_snmf(params_model, params_data, folder_exp, **common)
 
 
 if __name__ == "__main__":

@@ -61,6 +61,13 @@ class DRNMFConfig:
     transform_before_irm: Optional[str] = None  # None | 'square'
     use_pallas: bool = False  # fused VMEM-resident recurrence kernel
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
+    # cell capability flags mirroring SimpleDeepRNN (custom_layers.py:131-168)
+    activation: str = "relu"  # relu | tanh | sigmoid | linear
+    connect_input_to_layers: bool = True  # x_t fed to every layer k (:366-368)
+    nonnegative: bool = True  # h0 = softplus(log_h0); else plain zero-init h0
+    return_all_hidden: bool = False  # concat all K layers' hidden per step
+    dropout_W: float = 0.0  # variational input dropout (get_constants :377-395)
+    dropout_U: float = 0.0  # variational recurrent dropout
 
     @property
     def hidden_dim(self) -> int:
@@ -96,12 +103,17 @@ def init_drnmf_params(config: DRNMFConfig, w_noisy: np.ndarray, key=None) -> dic
     params = {
         "log_U1": np.log(_EPS7 + np.eye(n2r, dtype=np.float32)),
         "log_Uk": np.log(_EPS7 + np.zeros((n2r, n2r), np.float32)),
-        "log_h0": np.asarray(
-            jax.random.uniform(key, (n2r,), jnp.float32, -0.05, 0.05)
-        ),
         "log_W_clean": np.log(_EPS7 + w_noisy[:, : config.r].T),
         "log_W_noise": np.log(_EPS7 + w_noisy[:, config.r :].T),
     }
+    if config.nonnegative:
+        params["log_h0"] = np.asarray(
+            jax.random.uniform(key, (n2r,), jnp.float32, -0.05, 0.05)
+        )
+    else:
+        # flag_nonnegative=False: plain zero-init trainable h0
+        # (custom_layers.py:208-211)
+        params["h0"] = np.zeros((n2r,), np.float32)
     base = {
         "log_D": np.log(_EPS7 + w_noisy),
         "log_alph": np.log(_EPS7 + alph0),
@@ -129,7 +141,7 @@ def drnmf_trainable_mask(config: DRNMFConfig, params: dict) -> dict:
             trainable.update(f"{name}_{k}" for k in range(config.K_layers))
         else:
             trainable.add(name)
-    trainable.update({"log_h0", "log_W_clean", "log_W_noise"})
+    trainable.update({"log_h0", "h0", "log_W_clean", "log_W_noise"})
     return {k: (k in trainable) for k in params}
 
 
@@ -163,17 +175,54 @@ def _effective_matrices(params: dict, config: DRNMFConfig):
     return U, S, W, b
 
 
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "linear": lambda v: v,
+}
+
+
+def _dropout_mask(key, shape, rate):
+    """Keras K.dropout semantics: Bernoulli keep mask scaled by 1/(1-rate),
+    fixed per sequence (variational dropout, custom_layers.py:377-395)."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, shape)
+    return keep.astype(jnp.float32) / (1.0 - rate)
+
+
 def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
-                 step_mask: jnp.ndarray) -> jnp.ndarray:
+                 step_mask: jnp.ndarray, rng=None,
+                 training: bool = False) -> jnp.ndarray:
     """Run the recurrence.  x: (B, T, F); step_mask: (B, T) bool.
-    Returns hidden states (B, T, 2r)."""
+    Returns hidden states (B, T, 2r), or (B, T, K*2r) with
+    ``return_all_hidden``."""
     K = config.K_layers
     U, S, W, b = _effective_matrices(params, config)
-    h0 = jax.nn.softplus(params["log_h0"])
+    if config.nonnegative:
+        h0 = jax.nn.softplus(params["log_h0"])
+    else:
+        h0 = params["h0"]
     bsz = x.shape[0]
+    act = _ACTIVATIONS[config.activation]
+
+    use_dropout = training and (config.dropout_U > 0 or config.dropout_W > 0)
+    if use_dropout:
+        if rng is None:
+            raise ValueError("dropout requires an rng key at training time")
+        ku, kw = jax.random.split(rng)
+        b_u = (_dropout_mask(ku, (bsz, config.hidden_dim), config.dropout_U)
+               if config.dropout_U > 0 else 1.0)
+        b_w = (_dropout_mask(kw, (bsz, x.shape[-1]), config.dropout_W)
+               if config.dropout_W > 0 else 1.0)
+    else:
+        b_u = b_w = 1.0
+
+    plain = (config.activation == "relu" and config.connect_input_to_layers
+             and not config.return_all_hidden and not use_dropout)
+
     h_init = jnp.broadcast_to(h0[None, :], (bsz, config.hidden_dim))
 
-    if config.use_pallas:
+    if config.use_pallas and plain:
         from ..ops.pallas import drnmf_scan_pallas
 
         n2r = config.hidden_dim
@@ -190,26 +239,38 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
     xT = jnp.swapaxes(x, 0, 1)  # (T, B, F)
     mT = jnp.swapaxes(step_mask, 0, 1)  # (T, B)
 
-    def step(h_prev, inp):
+    if config.return_all_hidden:
+        # carry = concat of all K layers' hidden; the recurrent input is the
+        # last block (custom_layers.py:345-347, 371-374); h0 tiled K times
+        h_init = jnp.tile(h_init, (1, K))
+
+    def step(carry, inp):
         x_t, m_t = inp
+        h_prev = carry[:, -config.hidden_dim:] if config.return_all_hidden else carry
         hidden = None
+        outs = []
         for k in range(K):
-            pre = jnp.dot(h_prev, U[k], preferred_element_type=jnp.float32)
+            pre = jnp.dot(h_prev * b_u, U[k], preferred_element_type=jnp.float32)
             if k > 0:
                 pre = pre + jnp.dot(hidden, S[k - 1], preferred_element_type=jnp.float32)
-            pre = pre + jnp.dot(x_t, W[k], preferred_element_type=jnp.float32)
-            hidden = jax.nn.relu(pre + b[k])
-        h_new = jnp.where(m_t[:, None], hidden, h_prev)
-        return h_new, h_new
+            if config.connect_input_to_layers:
+                pre = pre + jnp.dot(x_t * b_w, W[k], preferred_element_type=jnp.float32)
+            hidden = act(pre + b[k])
+            outs.append(hidden)
+        out = jnp.concatenate(outs, axis=1) if config.return_all_hidden else hidden
+        new_carry = jnp.where(m_t[:, None], out, carry)
+        return new_carry, new_carry
 
     _, hs = jax.lax.scan(step, h_init, (xT, mT))
-    return jnp.swapaxes(hs, 0, 1)  # (B, T, 2r)
+    return jnp.swapaxes(hs, 0, 1)  # (B, T, 2r) or (B, T, K*2r)
 
 
 def _heads(params: dict, config: DRNMFConfig, hidden: jnp.ndarray):
-    """Nonnegative reconstruction heads (DenseNonNegW: x @ exp(kernel))."""
-    h_clean = hidden[..., : config.r]
-    h_noise = hidden[..., config.r :]
+    """Nonnegative reconstruction heads (DenseNonNegW: x @ exp(kernel)).
+    With ``return_all_hidden`` the heads consume the top layer's block."""
+    top = hidden[..., -config.hidden_dim:]
+    h_clean = top[..., : config.r]
+    h_noise = top[..., config.r :]
     clean_est = jnp.dot(
         h_clean, jnp.exp(params["log_W_clean"]), preferred_element_type=jnp.float32
     )
@@ -236,12 +297,16 @@ def step_mask_from_input(x: jnp.ndarray, mask_value: float) -> jnp.ndarray:
 
 
 def drnmf_forward(params: dict, config: DRNMFConfig, x: jnp.ndarray,
-                  return_parts: bool = False):
+                  return_parts: bool = False, rng=None,
+                  training: bool = False):
     """Unjitted forward pass: noisy magnitude spectrogram (B, T, F) -> ratio
     mask.  With ``return_parts=True`` also returns (hidden, clean_est,
-    noise_est) for the SNMF-cost pretraining path (enhance.py:1024-1036)."""
+    noise_est) for the SNMF-cost pretraining path (enhance.py:1024-1036).
+    ``rng``/``training`` enable the variational dropout masks when
+    ``dropout_W``/``dropout_U`` are set."""
     step_mask = step_mask_from_input(x, config.mask_value)
-    hidden = _scan_hidden(params, config, x, step_mask)
+    hidden = _scan_hidden(params, config, x, step_mask, rng=rng,
+                          training=training)
     clean_est, noise_est = _heads(params, config, hidden)
     irm = _ratio_mask(clean_est, noise_est, config.transform_before_irm)
     if return_parts:
@@ -249,6 +314,6 @@ def drnmf_forward(params: dict, config: DRNMFConfig, x: jnp.ndarray,
     return irm
 
 
-drnmf_apply = partial(jax.jit, static_argnames=("config", "return_parts"))(
-    drnmf_forward
-)
+drnmf_apply = partial(
+    jax.jit, static_argnames=("config", "return_parts", "training")
+)(drnmf_forward)

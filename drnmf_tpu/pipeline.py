@@ -34,8 +34,15 @@ from .train import (
     train_snmf,
     load_checkpoint,
 )
-from .utils import config_hash, dump_yaml, ensure_experiment_dirs
+from .utils import config_hash, dump_yaml, ensure_experiment_dirs, StageTimer
 from .metrics.scoring import score_dataset, aggregate_snr_scores, SCORE_LABELS
+
+
+def dataset_audio_seconds(dataset, fs=16000):
+    """Approximate audio duration from frame counts (frames * hop / fs)."""
+    hop = int(dataset.params_stft["hop"])
+    n_frames = int(np.sum(dataset.fidx[:, 1] - dataset.fidx[:, 0]))
+    return n_frames * hop / fs
 
 SNRS = ["m6dB", "m3dB", "0dB", "3dB", "6dB", "9dB"]
 
@@ -193,6 +200,13 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
         params_untied=tuple(params_model.get("params_untied", [])),
         params_trainable=tuple(params_model.get("params_trainable", [])),
         transform_before_irm=params_model.get("transform_before_irm"),
+        activation=params_model.get("activation", "relu"),
+        connect_input_to_layers=bool(
+            params_model.get("connect_input_to_layers", True)),
+        nonnegative=bool(params_model.get("nonnegative", True)),
+        return_all_hidden=bool(params_model.get("return_all_hidden", False)),
+        dropout_W=float(params_model.get("dropout_W", 0.0)),
+        dropout_U=float(params_model.get("dropout_U", 0.0)),
     )
     params = init_drnmf_params(config, w_noisy)
 
@@ -204,6 +218,12 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
 
     def loss_fn(p, x, y, mask):
         irm = drnmf_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    use_dropout = config.dropout_W > 0 or config.dropout_U > 0
+
+    def train_loss_fn(p, x, y, mask, rng):
+        irm = drnmf_apply(p, config, x, rng=rng, training=True)
         return masked_mse_signal_approx(irm, x, y, mask)
 
     pretrain = bool(params_model.get("pretrain_with_snmf_cost", False))
@@ -266,9 +286,13 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
             init_params, _ = load_checkpoint(params_model["savefile_init"])
             params = {k: np.asarray(v) for k, v in init_params.items()}
         best_params, _ = train_model(
-            params, loss_fn, train_data, valid_data, tc,
+            params,
+            train_loss_fn if use_dropout else loss_fn,
+            train_data, valid_data, tc,
             trainable_mask=drnmf_trainable_mask(config, params),
             savefile=savefile, histfile=histfile,
+            eval_loss_fn=loss_fn if use_dropout else None,
+            loss_takes_rng=use_dropout,
         )
     else:
         best_params, _ = load_checkpoint(savefile)
@@ -279,19 +303,26 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
         for split in splits:
             if verbose:
                 print(f"Scoring {split} set...")
-            x, y, mask = load_tensors(
-                datasets[split], params_data, None,
-                cache_path=os.path.join(folder_exp, f"tensors_{split}_full.npz"),
-            )
-            irm = predict_irm(
-                lambda p, xb: drnmf_apply(p, config, xb), best_params, x
-            )
+            timer = StageTimer()
+            audio_s = dataset_audio_seconds(datasets[split])
+            with timer.stage("load_tensors"):
+                x, y, mask = load_tensors(
+                    datasets[split], params_data, None,
+                    cache_path=os.path.join(folder_exp, f"tensors_{split}_full.npz"),
+                )
+            with timer.stage("predict_irm", audio_seconds=audio_s):
+                irm = predict_irm(
+                    lambda p, xb: drnmf_apply(p, config, xb), best_params, x
+                )
             desc = f"unfolded_snmf_{h}_{split}"
-            reconstruct_split(datasets[split], irm, mask, desc)
+            with timer.stage("reconstruct", audio_seconds=audio_s):
+                reconstruct_split(datasets[split], irm, mask, desc)
             results[split] = score_split(
                 datasets[split], desc, folder_exp + "/",
                 compute_pesq=compute_pesq, verbose=verbose,
             )
+            if verbose:
+                print(f"Enhancement timing ({split}):\n{timer.report()}")
     return best_params, config, results
 
 

@@ -72,12 +72,18 @@ def _shard_batch(batch, mesh):
     return tuple(jax.device_put(b, sharding) for b in batch)
 
 
-def make_train_step(loss_fn: Callable, optimizer):
-    """loss_fn(params, x, y, mask) -> scalar.  Returns jit'd step."""
+def make_train_step(loss_fn: Callable, optimizer, with_rng: bool = False):
+    """loss_fn(params, x, y, mask[, rng]) -> scalar.  Returns jit'd step.
+
+    ``with_rng=True`` threads a per-batch PRNG key into the loss (variational
+    dropout in the DR-NMF cell, custom_layers.py:377-395 semantics)."""
 
     @jax.jit
-    def step(params, opt_state, x, y, mask):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, mask)
+    def step(params, opt_state, x, y, mask, rng=None):
+        if with_rng:
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, mask, rng)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -119,16 +125,23 @@ def train_model(
     savefile: Optional[str] = None,
     histfile: Optional[str] = None,
     mesh=None,
+    eval_loss_fn: Optional[Callable] = None,
+    loss_takes_rng: bool = False,
 ):
     """Fit with early stopping; returns (best_params, history).
 
     ``train_data`` / ``valid_data``: (x, y, mask) numpy tensors.
+    With ``loss_takes_rng`` the training loss receives a fresh PRNG key per
+    batch (dropout); validation uses ``eval_loss_fn`` (defaults to
+    ``loss_fn``), always rng-free -- Keras in_train_phase semantics.
     """
     optimizer = make_optimizer(train_config, trainable_mask)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(loss_fn, optimizer)
-    eval_fn = make_eval_step(loss_fn)
+    step_fn = make_train_step(loss_fn, optimizer, with_rng=loss_takes_rng)
+    eval_fn = make_eval_step(eval_loss_fn if eval_loss_fn is not None else loss_fn)
     history = LossHistory(histfile)
+    base_key = jax.random.PRNGKey(train_config.seed) if loss_takes_rng else None
+    global_step = 0
 
     x, y, mask = train_data
     n = x.shape[0]
@@ -145,7 +158,12 @@ def train_model(
         for start in range(0, n, train_config.batch_size):
             idx = order[start : start + train_config.batch_size]
             batch = _shard_batch((x[idx], y[idx], mask[idx]), mesh)
-            params, opt_state, loss = step_fn(params, opt_state, *batch)
+            if loss_takes_rng:
+                key = jax.random.fold_in(base_key, global_step)
+                params, opt_state, loss = step_fn(params, opt_state, *batch, key)
+            else:
+                params, opt_state, loss = step_fn(params, opt_state, *batch)
+            global_step += 1
             loss = float(loss)
             history.on_batch_end({"loss": loss})
             epoch_loss += loss

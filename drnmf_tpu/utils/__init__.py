@@ -1,5 +1,6 @@
 from .config import config_hash, load_yaml, dump_yaml, ensure_experiment_dirs
 from .cache import snmf_cache_path, save_snmf, load_snmf
+from .profiling import StageTimer, trace, device_sync
 
 __all__ = [
     "config_hash",
@@ -9,4 +10,7 @@ __all__ = [
     "snmf_cache_path",
     "save_snmf",
     "load_snmf",
+    "StageTimer",
+    "trace",
+    "device_sync",
 ]

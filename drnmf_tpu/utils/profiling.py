@@ -1,0 +1,101 @@
+"""Tracing & profiling: per-stage wall-clock, real-time factor, XLA traces.
+
+The reference's observability was MATLAB tic/toc around the MU loop
+(sparse_nmf_gpu.m:207,299) and Keras progress bars.  This module provides the
+TPU-native replacement promised in SURVEY.md §5:
+
+* ``StageTimer`` -- hierarchical named wall-clock stages with a printable
+  report and JSON export; the north-star *real-time factor* (seconds of audio
+  processed per second of compute) is a first-class aggregate.
+* ``trace`` -- context manager around ``jax.profiler`` traces (TensorBoard /
+  Perfetto-viewable) gated so it is a no-op when profiling is off.
+* ``device_sync`` -- block until all dispatched device work completes, so
+  timers measure compute rather than dispatch.
+"""
+
+import contextlib
+import json
+import time
+
+import jax
+
+
+def device_sync():
+    """Block until outstanding device computations finish."""
+    for d in jax.live_arrays():
+        pass  # live_arrays enumeration is cheap; block_until_ready below
+    (jax.device_put(0.0) + 0).block_until_ready()
+
+
+class StageTimer:
+    """Named wall-clock stages with real-time-factor accounting.
+
+    Usage::
+
+        timer = StageTimer()
+        with timer.stage("featurize", audio_seconds=123.4):
+            ...
+        print(timer.report())
+    """
+
+    def __init__(self):
+        self.stages = []  # (name, seconds, audio_seconds)
+
+    @contextlib.contextmanager
+    def stage(self, name, audio_seconds=None, sync=False):
+        t0 = time.perf_counter()
+        try:
+            yield self
+        finally:
+            if sync:
+                device_sync()
+            self.stages.append((name, time.perf_counter() - t0, audio_seconds))
+
+    def total_seconds(self):
+        return sum(s for _, s, _ in self.stages)
+
+    def realtime_factor(self):
+        """Total audio seconds / total compute seconds over RTF stages."""
+        audio = sum(a for _, _, a in self.stages if a)
+        compute = sum(s for _, s, a in self.stages if a)
+        return (audio / compute) if compute > 0 else float("inf")
+
+    def report(self):
+        lines = []
+        for name, secs, audio in self.stages:
+            rtf = f"  ({audio / secs:.1f}x real-time)" if audio else ""
+            lines.append(f"  {name}: {secs:.3f}s{rtf}")
+        lines.append(f"  total: {self.total_seconds():.3f}s")
+        audio = sum(a for _, _, a in self.stages if a)
+        if audio:
+            lines.append(
+                f"  real-time factor: {self.realtime_factor():.1f}x "
+                f"({audio:.1f}s audio)"
+            )
+        return "\n".join(lines)
+
+    def to_json(self):
+        return json.dumps({
+            "stages": [
+                {"name": n, "seconds": s, "audio_seconds": a}
+                for n, s, a in self.stages
+            ],
+            "total_seconds": self.total_seconds(),
+            "realtime_factor": self.realtime_factor(),
+        })
+
+
+@contextlib.contextmanager
+def trace(log_dir=None):
+    """``jax.profiler`` trace context; no-op when ``log_dir`` is None.
+
+    View with TensorBoard (profile plugin) or Perfetto.
+    """
+    if log_dir is None:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -220,3 +220,97 @@ def test_snmf_enhancer_mask(rng):
     assert irm.shape == (f, n)
     assert np.all(irm >= 0) and np.all(irm <= 1)
     assert h.shape == (2 * r, n)
+
+
+# ---------------------------------------------------------------------------
+# cell capability flags (SimpleDeepRNN parity: custom_layers.py:131-168)
+# ---------------------------------------------------------------------------
+
+def test_return_all_hidden(rng):
+    import jax
+    f, r, K = 9, 3, 3
+    w = make_dict(rng, f, 2 * r)
+    x = rng.uniform(0, 1, (2, 7, f)).astype(np.float32)
+    base = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K)
+    allh = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                       return_all_hidden=True)
+    p = init_drnmf_params(base, w)
+    _, hid_base, ce, ne = drnmf_apply(p, base, x, return_parts=True)
+    _, hid_all, ce2, ne2 = drnmf_apply(p, allh, x, return_parts=True)
+    assert hid_all.shape == (2, 7, K * 2 * r)
+    # last block == the default top-layer hidden; heads identical
+    np.testing.assert_allclose(np.asarray(hid_all[..., -2 * r:]),
+                               np.asarray(hid_base), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ce2), np.asarray(ce),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_connect_input_to_layers_off(rng):
+    f, r = 9, 3
+    w = make_dict(rng, f, 2 * r)
+    x = rng.uniform(0.2, 1, (2, 5, f)).astype(np.float32)
+    on = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2)
+    off = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                      connect_input_to_layers=False)
+    p = init_drnmf_params(on, w)
+    irm_on = np.asarray(drnmf_apply(p, on, x))
+    irm_off = np.asarray(drnmf_apply(p, off, x))
+    assert not np.allclose(irm_on, irm_off)
+
+
+def test_activation_flag(rng):
+    f, r = 9, 3
+    w = make_dict(rng, f, 2 * r)
+    x = rng.uniform(0.2, 1, (2, 5, f)).astype(np.float32)
+    for act in ("tanh", "sigmoid", "linear"):
+        cfg = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                          activation=act)
+        p = init_drnmf_params(cfg, w)
+        _, hid, _, _ = drnmf_apply(p, cfg, x, return_parts=True)
+        hid = np.asarray(hid)
+        assert np.all(np.isfinite(hid))
+        if act == "sigmoid":
+            assert np.all((hid >= 0) & (hid <= 1))
+        if act == "tanh":
+            assert np.all((hid >= -1) & (hid <= 1))
+        if act == "linear":
+            assert np.any(hid < 0) or np.any(hid > 0)
+
+
+def test_nonnegative_off_plain_h0(rng):
+    f, r = 9, 3
+    w = make_dict(rng, f, 2 * r)
+    cfg = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                      nonnegative=False)
+    p = init_drnmf_params(cfg, w)
+    assert "h0" in p and "log_h0" not in p
+    np.testing.assert_array_equal(np.asarray(p["h0"]), 0.0)
+    mask = drnmf_trainable_mask(cfg, p)
+    assert mask["h0"]
+    x = rng.uniform(0.2, 1, (2, 5, f)).astype(np.float32)
+    assert np.all(np.isfinite(np.asarray(drnmf_apply(p, cfg, x))))
+
+
+def test_variational_dropout(rng):
+    import jax
+    f, r = 9, 3
+    w = make_dict(rng, f, 2 * r)
+    x = rng.uniform(0.2, 1, (4, 6, f)).astype(np.float32)
+    cfg = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                      dropout_W=0.5, dropout_U=0.5)
+    p = init_drnmf_params(cfg, w)
+    k1, k2 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+    a = np.asarray(drnmf_apply(p, cfg, x, rng=k1, training=True))
+    a2 = np.asarray(drnmf_apply(p, cfg, x, rng=k1, training=True))
+    b = np.asarray(drnmf_apply(p, cfg, x, rng=k2, training=True))
+    np.testing.assert_array_equal(a, a2)  # deterministic per rng
+    assert not np.allclose(a, b)  # different masks differ
+    # eval mode ignores dropout entirely (Keras in_train_phase)
+    ev = np.asarray(drnmf_apply(p, cfg, x))
+    plain = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2)
+    np.testing.assert_allclose(
+        ev, np.asarray(drnmf_apply(p, plain, x)), rtol=1e-6
+    )
+    # training without an rng is a clear error
+    with pytest.raises(ValueError, match="rng"):
+        drnmf_apply(p, cfg, x, training=True)

@@ -161,3 +161,20 @@ def test_unfolded_snmf_pretrain_with_snmf_cost(setup):
     with open(os.path.join(hist_dir, pre_hist), "rb") as f:
         hist = pickle.load(f)
     assert np.all(np.isfinite(hist["on_epoch_end"]["val_loss"]))
+
+
+def test_unfolded_snmf_with_dropout(setup):
+    """Dropout flags wire through the YAML config into training (variational
+    dropout, rng threaded per batch); eval stays deterministic."""
+    params_data, folder_exp = setup
+    model = dict(MODEL_SMALL)
+    model.update(dropout_W=0.2, dropout_U=0.2, epochs=2)
+    best, config, _ = pipeline.run_unfolded_snmf(
+        model, params_data, folder_exp, verbose=False, splits=(),
+        flag_score=False,
+    )
+    assert config.dropout_W == 0.2
+    import pickle
+    h = [f for f in os.listdir(os.path.join(folder_exp, "history"))
+         if not f.endswith("_pretrain")]
+    assert h  # trained and recorded history
