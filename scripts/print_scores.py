@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Score table: model, depth, hidden size, trainable params, best val loss,
+mean SDR per split -- as plain text or LaTeX rows.
+
+Equivalent of the reference's print_scores.py:1-322 (which assembled LaTeX
+table rows from HDF5 weight files, pickled histories, and MATLAB .mat score
+files); here the sources are the npz checkpoints, pickled histories, and npz
+score files the pipeline writes.
+
+Usage:
+    python scripts/print_scores.py data_setup_downsample1 [--latex]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from drnmf_tpu.reporting import (  # noqa: E402
+    best_val_loss,
+    count_trainable_params,
+    latex_table,
+    mean_scores_from_files,
+)
+
+
+def model_rows(folder_exp, splits=("valid", "test")):
+    cfg_dir = os.path.join(folder_exp, "configs")
+    rows = []
+    if not os.path.isdir(cfg_dir):
+        return rows
+    for fname in sorted(os.listdir(cfg_dir)):
+        if not fname.endswith(".yaml"):
+            continue
+        tag = fname[len("params_"):-len(".yaml")]  # e.g. unfolded_snmf_<hash>
+        with open(os.path.join(cfg_dir, fname)) as f:
+            cfg = yaml.safe_load(f)
+        model_type = tag.rsplit("_", 1)[0]
+        K = cfg.get("K_layers", "-")
+        hidden = cfg.get("hidden_dim", 2 * cfg.get("r", 0) or "-")
+
+        ckpt = os.path.join(folder_exp, "models", f"model_{tag}.npz")
+        n_params = "-"
+        if os.path.isfile(ckpt):
+            trainable = cfg.get("params_trainable")
+            keys = None
+            if trainable:
+                untied = set(cfg.get("params_untied", []))
+                keys = []
+                for t in trainable:
+                    keys.append(t)
+                # untied params live as <name>_<k>; prefix match covers both
+                keys += ["log_h0", "h0", "log_W_clean", "log_W_noise"]
+            n_params = count_trainable_params(ckpt, trainable_keys=keys)
+
+        histfile = os.path.join(folder_exp, "history", f"history_{tag}")
+        vloss = None
+        if os.path.isfile(histfile):
+            try:
+                vloss = best_val_loss(histfile)
+            except Exception:
+                pass
+
+        sdrs = {}
+        score_dir = os.path.join(folder_exp, "scores")
+        for split in splits:
+            if not os.path.isdir(score_dir):
+                continue
+            files = [
+                os.path.join(score_dir, s) for s in os.listdir(score_dir)
+                if tag in s and f"_{split}_" in s and s.endswith(".npz")
+            ]
+            if files:
+                sdrs[split] = mean_scores_from_files(files, score_idx=0)
+
+        rows.append({
+            "model": model_type, "tag": tag, "K": K, "N": hidden,
+            "params": n_params, "val_loss": vloss,
+            **{f"sdr_{s}": sdrs.get(s) for s in splits},
+        })
+    return rows
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("folder_exp")
+    parser.add_argument("--latex", action="store_true")
+    parser.add_argument("--splits", default="valid,test")
+    args = parser.parse_args()
+
+    splits = tuple(s for s in args.splits.split(",") if s)
+    rows = model_rows(args.folder_exp, splits)
+    if not rows:
+        sys.exit(f"no configs found under {args.folder_exp}/configs")
+
+    def fmt(v, spec=".3f"):
+        return format(v, spec) if isinstance(v, float) else str(v)
+
+    if args.latex:
+        table_rows = [
+            (r["model"], r["K"], r["N"], r["params"],
+             r["val_loss"] if r["val_loss"] is not None else "-",
+             *[r[f"sdr_{s}"] if r[f"sdr_{s}"] is not None else "-"
+               for s in splits])
+            for r in rows
+        ]
+        labels = ("Model", "K", "N", "Params", "val loss",
+                  *[f"SDR {s}" for s in splits])
+        print(latex_table(table_rows, labels))
+        return
+
+    hdr = (f"{'model':<16} {'K':>2} {'N':>5} {'params':>9} {'val_loss':>10} "
+           + " ".join(f"{'SDR ' + s:>10}" for s in splits))
+    print(hdr)
+    print("-" * len(hdr))
+    for r in rows:
+        vl = fmt(r["val_loss"], ".5f") if r["val_loss"] is not None else "-"
+        sdr_cols = " ".join(
+            f"{fmt(r[f'sdr_{s}'], '.2f') if r[f'sdr_{s}'] is not None else '-':>10}"
+            for s in splits
+        )
+        print(f"{r['model']:<16} {r['K']:>2} {r['N']:>5} {r['params']:>9} "
+              f"{vl:>10} {sdr_cols}")
+
+
+if __name__ == "__main__":
+    main()

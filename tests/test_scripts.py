@@ -90,3 +90,10 @@ def test_score_audio_length_mismatch(tmp_path):
              "--ref", str(tmp_path / "ref.txt")], str(tmp_path))
     assert r.returncode == 2
     assert "mismatch" in r.stderr
+
+
+def test_print_scores_empty(tmp_path):
+    r = run([os.path.join(SCRIPTS, "print_scores.py"), str(tmp_path)],
+            str(tmp_path))
+    assert r.returncode != 0
+    assert "no configs" in r.stderr
