@@ -1,3 +1,10 @@
 from .mesh import make_mesh, shard_batch, replicate_params, sparse_nmf_sharded
+from .seqpipe import drnmf_scan_seq_pipelined
 
-__all__ = ["make_mesh", "shard_batch", "replicate_params", "sparse_nmf_sharded"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate_params",
+    "sparse_nmf_sharded",
+    "drnmf_scan_seq_pipelined",
+]

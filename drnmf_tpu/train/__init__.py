@@ -1,7 +1,8 @@
 from .losses import masked_mse_signal_approx, snmf_pretrain_loss
 from .loop import TrainConfig, train_model, make_optimizer, evaluate
 from .history import LossHistory
-from .checkpoint import save_checkpoint, load_checkpoint
+from .checkpoint import (save_checkpoint, load_checkpoint,
+                         save_checkpoint_orbax, load_checkpoint_orbax)
 from .snmf_recipe import train_snmf
 
 __all__ = [
@@ -14,5 +15,7 @@ __all__ = [
     "LossHistory",
     "save_checkpoint",
     "load_checkpoint",
+    "save_checkpoint_orbax",
+    "load_checkpoint_orbax",
     "train_snmf",
 ]

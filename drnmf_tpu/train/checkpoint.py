@@ -29,3 +29,26 @@ def load_checkpoint(path):
         k[len("__meta_"):]: data[k] for k in data.files if k.startswith("__meta_")
     }
     return params, meta
+
+
+# -- orbax backend (sharded / multi-host checkpoints) ------------------------
+
+def save_checkpoint_orbax(path, params, meta=None):
+    """Orbax checkpoint of a parameter pytree (SURVEY.md section 5: the
+    TPU-native replacement for Keras HDF5 weights when parameters are sharded
+    jax.Arrays -- orbax writes each shard from its owning host)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": dict(params), "meta": dict(meta or {})},
+               force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    return restored["params"], restored.get("meta", {})

@@ -83,3 +83,62 @@ def test_data_parallel_train_step(rng):
         np.asarray(p2["log_D_0"]), np.asarray(p2_ref["log_D_0"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_seq_pipelined_scan_matches_single_device(rng):
+    """Time-sharded pipelined recurrence == single-device lax.scan exactly
+    (the wavefront pipeline reorders placement, not math)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import (
+        _scan_hidden,
+        step_mask_from_input,
+    )
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel.seqpipe import drnmf_scan_seq_pipelined
+
+    f, r, K = 9, 3, 2
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K)
+    params = init_drnmf_params(config, w)
+
+    bsz, t_total = 16, 40  # B div groups(8), T div sp(8)
+    x = rng.uniform(0, 1, (bsz, t_total, f)).astype(np.float32)
+    # mask out the tail of some sequences (state must hold across chunks)
+    x[3, 25:, :] = config.mask_value
+    x[7, 10:, :] = config.mask_value
+    xj = jnp.asarray(x)
+    step_mask = step_mask_from_input(xj, config.mask_value)
+
+    ref = np.asarray(_scan_hidden(params, config, xj, step_mask))
+
+    mesh = make_mesh(8, axis_name="sp")
+    out = np.asarray(
+        drnmf_scan_seq_pipelined(params, config, xj, step_mask, mesh)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_seq_pipelined_scan_group_count(rng):
+    import numpy as np
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import _scan_hidden, step_mask_from_input
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel.seqpipe import drnmf_scan_seq_pipelined
+
+    f, r = 5, 2
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=1)
+    params = init_drnmf_params(config, w)
+    x = jnp.asarray(rng.uniform(0, 1, (12, 16, f)).astype(np.float32))
+    mask = step_mask_from_input(x, config.mask_value)
+    ref = np.asarray(_scan_hidden(params, config, x, mask))
+    mesh = make_mesh(8, axis_name="sp")
+    out = np.asarray(
+        drnmf_scan_seq_pipelined(params, config, x, mask, mesh, n_groups=4)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)

@@ -154,3 +154,21 @@ def test_config_hash_stability():
     b = {"z": 2.0, "y": [1, 2], "x": 1}
     assert config_hash(a) == config_hash(b)
     assert config_hash(a) != config_hash({**a, "x": 2})
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+    from drnmf_tpu.train.checkpoint import (
+        save_checkpoint_orbax,
+        load_checkpoint_orbax,
+    )
+
+    params = {"log_D": np.arange(6, dtype=np.float32).reshape(2, 3),
+              "log_alph": np.float32(2.5) * np.ones((4,), np.float32)}
+    path = str(tmp_path / "ckpt_orbax")
+    save_checkpoint_orbax(path, params, meta={"val_loss": 0.5})
+    restored, meta = load_checkpoint_orbax(path)
+    assert set(restored) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(restored[k]), params[k])
+    assert float(meta["val_loss"]) == 0.5
