@@ -180,3 +180,23 @@ def test_aug_stft_time_domain_roundtrip(rng, unwrap):
     y = xr[0, : len(x), 0]
     nmse = np.mean((y - x) ** 2) / np.mean(x**2)
     assert nmse < (1e-4 if unwrap else 1e-6)
+
+
+def test_matmul_dft_matches_fft(rng):
+    """MXU matmul-DFT path == FFT path to float32 precision (both
+    directions; the TPU default path)."""
+    import jax.numpy as jnp
+    from drnmf_tpu.dsp.stft import stft_frames, istft_frames, pad_signal
+    from drnmf_tpu.dsp import sqrt_hann_periodic
+
+    n_fft, hop = 256, 64
+    w = jnp.asarray(sqrt_hann_periodic(n_fft))
+    x = pad_signal(jnp.asarray(rng.standard_normal((2, 3000)).astype(np.float32)),
+                   n_fft, hop)
+    s_fft = stft_frames(x, w, n_fft, hop, method="fft")
+    s_mm = stft_frames(x, w, n_fft, hop, method="matmul")
+    scale = float(jnp.abs(s_fft).max())
+    assert float(jnp.abs(s_mm - s_fft).max()) / scale < 1e-5
+    y_fft = istft_frames(s_fft, w, n_fft, hop, method="fft")
+    y_mm = istft_frames(s_fft, w, n_fft, hop, method="matmul")
+    assert float(jnp.abs(y_mm - y_fft).max()) < 1e-5
