@@ -68,6 +68,11 @@ class DRNMFConfig:
     return_all_hidden: bool = False  # concat all K layers' hidden per step
     dropout_W: float = 0.0  # variational input dropout (get_constants :377-395)
     dropout_U: float = 0.0  # variational recurrent dropout
+    # TPU matmul precision: 'default' runs the MXU in single-pass bf16
+    # (fastest; measured flagship-model mask delta vs 'highest' is 1.7e-4
+    # max / 2.6e-5 mean on [0,1] masks -- far inside the 0.1 dB SDR parity
+    # budget), 'highest' uses f32-equivalent multi-pass (~5x slower)
+    matmul_precision: str = "default"
 
     @property
     def hidden_dim(self) -> int:
@@ -190,6 +195,11 @@ def _dropout_mask(key, shape, rate):
     return keep.astype(jnp.float32) / (1.0 - rate)
 
 
+def _precision(config: DRNMFConfig):
+    return {"default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST}[config.matmul_precision]
+
+
 def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
                  step_mask: jnp.ndarray, rng=None,
                  training: bool = False) -> jnp.ndarray:
@@ -244,17 +254,22 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
         # last block (custom_layers.py:345-347, 371-374); h0 tiled K times
         h_init = jnp.tile(h_init, (1, K))
 
+    prec = _precision(config)
+
     def step(carry, inp):
         x_t, m_t = inp
         h_prev = carry[:, -config.hidden_dim:] if config.return_all_hidden else carry
         hidden = None
         outs = []
         for k in range(K):
-            pre = jnp.dot(h_prev * b_u, U[k], preferred_element_type=jnp.float32)
+            pre = jnp.dot(h_prev * b_u, U[k], precision=prec,
+                          preferred_element_type=jnp.float32)
             if k > 0:
-                pre = pre + jnp.dot(hidden, S[k - 1], preferred_element_type=jnp.float32)
+                pre = pre + jnp.dot(hidden, S[k - 1], precision=prec,
+                                    preferred_element_type=jnp.float32)
             if config.connect_input_to_layers:
-                pre = pre + jnp.dot(x_t * b_w, W[k], preferred_element_type=jnp.float32)
+                pre = pre + jnp.dot(x_t * b_w, W[k], precision=prec,
+                                    preferred_element_type=jnp.float32)
             hidden = act(pre + b[k])
             outs.append(hidden)
         out = jnp.concatenate(outs, axis=1) if config.return_all_hidden else hidden
@@ -271,11 +286,14 @@ def _heads(params: dict, config: DRNMFConfig, hidden: jnp.ndarray):
     top = hidden[..., -config.hidden_dim:]
     h_clean = top[..., : config.r]
     h_noise = top[..., config.r :]
+    prec = _precision(config)
     clean_est = jnp.dot(
-        h_clean, jnp.exp(params["log_W_clean"]), preferred_element_type=jnp.float32
+        h_clean, jnp.exp(params["log_W_clean"]), precision=prec,
+        preferred_element_type=jnp.float32
     )
     noise_est = jnp.dot(
-        h_noise, jnp.exp(params["log_W_noise"]), preferred_element_type=jnp.float32
+        h_noise, jnp.exp(params["log_W_noise"]), precision=prec,
+        preferred_element_type=jnp.float32
     )
     return clean_est, noise_est
 

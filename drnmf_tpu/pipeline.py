@@ -207,6 +207,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
         return_all_hidden=bool(params_model.get("return_all_hidden", False)),
         dropout_W=float(params_model.get("dropout_W", 0.0)),
         dropout_U=float(params_model.get("dropout_U", 0.0)),
+        matmul_precision=params_model.get("matmul_precision", "default"),
     )
     params = init_drnmf_params(config, w_noisy)
 
