@@ -15,7 +15,12 @@ as an idiomatic JAX framework:
 - ``metrics``  -- BSS-Eval SDR, SNR, segmental SNR, STOI, PESQ, on-device
                   (reference: score_audio.m + MATLAB toolboxes)
 - ``parallel`` -- device-mesh sharding helpers (jax.sharding / ICI collectives)
-- ``utils``    -- config hashing, artifact caching, reporting
+- ``streaming``-- online chunk-by-chunk enhancement (bounded-latency serving)
+- ``utils``    -- config hashing, artifact caching, profiling, reporting
 """
 
 __version__ = "0.1.0"
+
+from .streaming import StreamingEnhancer
+
+__all__ = ["StreamingEnhancer", "__version__"]

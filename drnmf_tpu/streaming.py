@@ -1,0 +1,185 @@
+"""Streaming (online) enhancement: feed audio chunks, get enhanced audio out.
+
+The reference is strictly offline (whole-utterance STFT stacks, enhance.py
+predict loops).  The DR-NMF recurrence is O(1)-state -- one (2r,) vector --
+so the TPU-native framework can serve *online* with bounded latency:
+
+    enh = StreamingEnhancer(params, config)
+    for chunk in microphone():          # arbitrary chunk sizes
+        play(enh.process(chunk))
+    play(enh.flush())
+
+Exactness: the streamer reproduces the offline pipeline bit-for-bit (up to
+f32 accumulation order) because it replays the same computation in blocks:
+
+* the sample buffer is primed with ``n_fft`` zeros (the reference's leading
+  edge pad, util.py:178-183), so streamed frames equal offline frames;
+* each compiled step processes ``block_frames`` frames: window -> DFT ->
+  magnitude -> DR-NMF scan carried from the previous block's state -> ratio
+  mask -> inverse DFT -> overlap-add into a carried (n_fft,) accumulator;
+* a frame's overlap-add contribution is final ``hop`` samples at a time, so
+  each block emits ``block_frames*hop`` samples; the first ``n_fft`` emitted
+  samples are skipped (the reference's edge trim, util.py:219-223);
+* ``flush`` zero-pads to a whole block -- zero frames mask to zero spectra
+  and contribute nothing to the overlap-add, so padding is harmless.
+
+Latency: ``n_fft - hop`` samples of framing lookahead plus one block
+(``block_frames * hop`` samples).  Lower ``block_frames`` for latency,
+raise it for throughput (larger device batches).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dsp.stft import _dft_matrices, _use_mxu_dft
+from .dsp.windows import sqrt_hann_periodic
+from .models.drnmf import DRNMFConfig, _effective_matrices, _heads, _ratio_mask
+
+
+def _make_block_step(config: DRNMFConfig, n_fft: int, hop: int):
+    """jit'd: (params, frames (k, n_fft), h (2r,), acc (n_fft,)) ->
+    (out (k*hop,), h', acc')."""
+    window = jnp.asarray(sqrt_hann_periodic(n_fft))
+    syn = window * jnp.float32(2.0 / (n_fft / hop))
+    f_bins = n_fft // 2 + 1
+
+    @jax.jit
+    def step(params, frames, h, acc):
+        k = frames.shape[0]
+        U, S, W, b = _effective_matrices(params, config)
+        fr = frames * window
+        if _use_mxu_dft():
+            cos_a, sin_a, syn_cos, syn_sin = (jnp.asarray(m) for m in
+                                              _dft_matrices(n_fft))
+            re = jnp.dot(fr, cos_a, precision=jax.lax.Precision.HIGHEST)
+            im = jnp.dot(fr, sin_a, precision=jax.lax.Precision.HIGHEST)
+        else:
+            spec = jnp.fft.rfft(fr, axis=-1)
+            re, im = jnp.real(spec), jnp.imag(spec)
+        mag = jnp.sqrt(re * re + im * im)  # (k, F)
+
+        def cell(h_prev, x_t):
+            hidden = None
+            for kk in range(config.K_layers):
+                pre = jnp.dot(h_prev[None, :], U[kk],
+                              preferred_element_type=jnp.float32)
+                if kk > 0:
+                    pre = pre + jnp.dot(hidden, S[kk - 1],
+                                        preferred_element_type=jnp.float32)
+                pre = pre + jnp.dot(x_t[None, :], W[kk],
+                                    preferred_element_type=jnp.float32)
+                hidden = jax.nn.relu(pre + b[kk])
+            return hidden[0], hidden[0]
+
+        h_fin, hs = jax.lax.scan(cell, h, mag)  # hs: (k, 2r)
+        clean_est, noise_est = _heads(params, config, hs)
+        irm = _ratio_mask(clean_est, noise_est, config.transform_before_irm)
+
+        re_m, im_m = re * irm, im * irm
+        if _use_mxu_dft():
+            xr = (jnp.dot(re_m, syn_cos, precision=jax.lax.Precision.HIGHEST)
+                  + jnp.dot(im_m, syn_sin, precision=jax.lax.Precision.HIGHEST))
+        else:
+            xr = jnp.fft.irfft(jax.lax.complex(re_m, im_m), n=n_fft, axis=-1)
+        xr = xr * syn  # (k, n_fft)
+
+        # overlap-add into the carried accumulator, emitting hop samples per
+        # frame: acc covers sample positions [cursor, cursor + n_fft)
+        def ola(carry, frame):
+            carry = carry + frame
+            out = carry[:hop]
+            carry = jnp.concatenate([carry[hop:], jnp.zeros((hop,), jnp.float32)])
+            return carry, out
+
+        acc, outs = jax.lax.scan(ola, acc, xr)
+        return outs.reshape(-1), h_fin, acc
+
+    return step
+
+
+class StreamingEnhancer:
+    """Stateful online enhancer over a trained DR-NMF model.
+
+    ``process`` accepts float32 mono samples of any length and returns the
+    enhanced samples that became final; ``flush`` drains the tail.  The
+    concatenated output equals the offline mask-and-iSTFT pipeline on the
+    same signal.
+    """
+
+    def __init__(self, params, config: DRNMFConfig, n_fft: int = 512,
+                 hop: int = 128, block_frames: int = 64):
+        if config.nonnegative:
+            h0 = jax.nn.softplus(params["log_h0"])
+        else:
+            h0 = params["h0"]
+        self.params = params
+        self.config = config
+        self.n_fft, self.hop, self.block = n_fft, hop, block_frames
+        self._step = _make_block_step(config, n_fft, hop)
+        self._h0 = jnp.asarray(h0)
+        self.reset()
+
+    def reset(self):
+        n_fft = self.n_fft
+        self._buf = np.zeros(n_fft, np.float32)  # leading edge pad
+        self._h = self._h0
+        self._acc = jnp.zeros((n_fft,), jnp.float32)
+        self._to_skip = n_fft  # trailing counterpart of the edge pad trim
+        self._n_in = 0
+
+    @property
+    def latency_samples(self) -> int:
+        """Worst-case samples buffered before output emerges."""
+        return (self.block - 1) * self.hop + self.n_fft
+
+    def _run_blocks(self, emit_limit=None):
+        n_fft, hop, k = self.n_fft, self.hop, self.block
+        need = (k - 1) * hop + n_fft
+        outs = []
+        while len(self._buf) >= need:
+            take = self._buf[:need]
+            idx = np.arange(k)[:, None] * hop + np.arange(n_fft)[None, :]
+            frames = jnp.asarray(take[idx])
+            out, self._h, self._acc = self._step(
+                self.params, frames, self._h, self._acc
+            )
+            self._buf = self._buf[k * hop:]
+            out = np.asarray(out)
+            if self._to_skip:
+                cut = min(self._to_skip, len(out))
+                out = out[cut:]
+                self._to_skip -= cut
+            if out.size:
+                outs.append(out)
+        return np.concatenate(outs) if outs else np.zeros(0, np.float32)
+
+    def process(self, samples) -> np.ndarray:
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._n_in += len(samples)
+        self._buf = np.concatenate([self._buf, samples])
+        return self._run_blocks()
+
+    def flush(self) -> np.ndarray:
+        """Drain: emit exactly what the offline pipeline would produce for
+        the signal seen so far (ceil(n/hop)*hop samples total, minus what
+        ``process`` already emitted)."""
+        n_fft, hop = self.n_fft, self.hop
+        n_blocks = -(-self._n_in // hop) if self._n_in else 0
+        total_target = n_blocks * hop  # offline trimmed output length
+        emitted_so_far = max(0, self._n_in + n_fft - len(self._buf) - n_fft)
+        # pad with zeros until every needed frame has been processed; zero
+        # frames contribute nothing (mask * 0 spectrum == 0)
+        remaining = total_target - emitted_so_far
+        outs = []
+        while remaining > 0:
+            pad = self.block * hop
+            self._buf = np.concatenate(
+                [self._buf, np.zeros(pad, np.float32)])
+            out = self._run_blocks()
+            if out.size:
+                outs.append(out[: remaining])
+                remaining -= min(len(out), remaining)
+        return np.concatenate(outs) if outs else np.zeros(0, np.float32)

@@ -1,0 +1,73 @@
+"""Streaming enhancement: chunked online output == offline pipeline."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from drnmf_tpu.dsp import stft, istft, sqrt_hann_periodic
+from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+from drnmf_tpu.models.drnmf import drnmf_forward
+from drnmf_tpu.streaming import StreamingEnhancer
+
+
+def offline_enhance(params, config, x, n_fft, hop):
+    spec = stft(jnp.asarray(x), n_fft, hop)  # (T, F)
+    mag = jnp.abs(spec)
+    irm = drnmf_forward(params, config, mag[None])[0]
+    out = istft(spec * irm.astype(spec.dtype), n_fft, hop, nsampl=len(x))
+    return np.asarray(out)
+
+
+@pytest.fixture
+def small_model(rng):
+    f_bins, r = 33, 4  # n_fft=64
+    w = rng.uniform(0.05, 1.0, (f_bins, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f_bins, r=r, output_dim=f_bins,
+                         K_layers=2, alph=10.0, lam1=0.5)
+    return init_drnmf_params(config, w), config
+
+
+@pytest.mark.parametrize("block_frames", [4, 16])
+def test_streaming_matches_offline(rng, small_model, block_frames):
+    params, config = small_model
+    n_fft, hop = 64, 16
+    x = (rng.standard_normal(3000) * 0.2).astype(np.float32)
+
+    enh = StreamingEnhancer(params, config, n_fft, hop,
+                            block_frames=block_frames)
+    # irregular chunk sizes, including tiny and huge
+    chunks, i = [], 0
+    for size in [7, 250, 1, 999, 123, 800, 2000]:
+        chunks.append(x[i : i + size])
+        i += size
+    chunks.append(x[i:])
+
+    outs = [enh.process(c) for c in chunks]
+    outs.append(enh.flush())
+    streamed = np.concatenate(outs)
+
+    offline = offline_enhance(params, config, x, n_fft, hop)
+    assert len(streamed) >= len(offline)
+    np.testing.assert_allclose(streamed[: len(offline)], offline,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_reset_and_reuse(rng, small_model):
+    params, config = small_model
+    n_fft, hop = 64, 16
+    x = (rng.standard_normal(1200) * 0.2).astype(np.float32)
+    enh = StreamingEnhancer(params, config, n_fft, hop, block_frames=8)
+    a = np.concatenate([enh.process(x), enh.flush()])
+    enh.reset()
+    b = np.concatenate([enh.process(x), enh.flush()])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_streaming_latency_bound(small_model):
+    params, config = small_model
+    enh = StreamingEnhancer(params, config, 64, 16, block_frames=4)
+    assert enh.latency_samples == 3 * 16 + 64
+    # tiny dribble: nothing can be emitted before the latency bound
+    out = enh.process(np.zeros(16, np.float32))
+    assert out.size == 0
