@@ -28,23 +28,26 @@ from .pesq import pesq_16k
 SCORE_LABELS = ["SDR", "SNR", "SegSNR local", "SegSNR global", "PESQ", "STOI"]
 
 
+def _score_pair(xest, xref, fs, compute_pesq=False):
+    """Scores for one time-aligned pair of signals
+    (score_audio.m:177-238 semantics: truncate to common length first)."""
+    n = min(len(xest), len(xref))
+    xest, xref = xest[:n], xref[:n]
+    sdr = bss_eval_sdr(xest, xref)
+    raw_snr = snr(xest, xref)
+    loc, glo = snrseg(xest, xref, fs)
+    pesq_mos = pesq_16k(xref, xest, fs, compute=compute_pesq)
+    stoi_score = stoi(xref, xest, fs)
+    return np.array([sdr, raw_snr, loc, glo, pesq_mos, stoi_score])
+
+
 def compute_scores(est_file, ref_file, compute_pesq=False):
-    """Scores for one file pair (score_audio.m:177-238 semantics)."""
+    """Scores for one file pair."""
     xest, fs_est = wavread_fs(est_file)
     xref, fs_ref = wavread_fs(ref_file)
     if fs_est != fs_ref:
         raise ValueError(f"fs mismatch: {fs_est} vs {fs_ref}")
-    xest = xest[0]
-    xref = xref[0]
-    n = min(len(xest), len(xref))
-    xest, xref = xest[:n], xref[:n]
-
-    sdr = bss_eval_sdr(xest, xref)
-    raw_snr = snr(xest, xref)
-    loc, glo = snrseg(xest, xref, fs_est)
-    pesq_mos = pesq_16k(xref, xest, fs_est, compute=compute_pesq)
-    stoi_score = stoi(xref, xest, fs_est)
-    return np.array([sdr, raw_snr, loc, glo, pesq_mos, stoi_score])
+    return _score_pair(xest[0], xref[0], fs_est, compute_pesq=compute_pesq)
 
 
 def score_taskfiles(enhanced_files, reference_files, savefile=None,
@@ -58,15 +61,41 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
 
     pairs = list(zip(enhanced_files, reference_files))
 
-    def job(pair):
-        return compute_scores(pair[0], pair[1], compute_pesq=compute_pesq)
+    from ..data.native_loader import native_available
 
-    # warm the jit caches on the first file, then stream the rest through a
-    # small thread pool (decode overlaps device compute)
-    scores = [job(pairs[0])]
-    if len(pairs) > 1:
+    if native_available() and len(pairs) > 1:
+        # decode ALL files through the multithreaded C++ batch loader (the
+        # TPU-era replacement for MATLAB's parfor worker pool,
+        # score_audio.m:72-98), then stream pairs through the jit'd metric
+        # kernels
+        from ..data.native_loader import read_batch, wav_info
+
+        enh_data, enh_len = read_batch(list(enhanced_files))
+        ref_data, ref_len = read_batch(list(reference_files))
+        fs = wav_info(reference_files[0])[2]
+        fs_enh = wav_info(enhanced_files[0])[2]
+        if fs != fs_enh:
+            raise ValueError(f"fs mismatch: {fs_enh} vs {fs}")
+
+        def job(i):
+            return _score_pair(
+                enh_data[i, : enh_len[i]], ref_data[i, : ref_len[i]], fs,
+                compute_pesq=compute_pesq,
+            )
+
+        scores = [job(0)]  # warm the jit caches
         with ThreadPoolExecutor(max_workers=n_workers) as pool:
-            scores.extend(pool.map(job, pairs[1:]))
+            scores.extend(pool.map(job, range(1, len(pairs))))
+    else:
+        def job(pair):
+            return compute_scores(pair[0], pair[1], compute_pesq=compute_pesq)
+
+        # warm the jit caches on the first file, then stream the rest through
+        # a small thread pool (decode overlaps device compute)
+        scores = [job(pairs[0])]
+        if len(pairs) > 1:
+            with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                scores.extend(pool.map(job, pairs[1:]))
     S = np.stack(scores)
 
     if verbose:

@@ -135,3 +135,34 @@ def test_score_taskfiles_and_cache(tmp_path, rng):
     S2, _ = score_taskfiles([p[0] for p in pairs], [p[1] for p in pairs],
                             savefile=save)
     np.testing.assert_array_equal(S, S2)
+
+
+def test_score_taskfiles_native_matches_scipy_path(tmp_path, rng):
+    """The native-batch-decode scoring path produces the same scores as the
+    per-file scipy path."""
+    import numpy as np
+    from drnmf_tpu.dsp import wavwrite
+    from drnmf_tpu.metrics import scoring
+    from drnmf_tpu.data.native_loader import native_available
+
+    if not native_available():
+        import pytest
+        pytest.skip("native loader unavailable")
+
+    enh, ref = [], []
+    for i in range(3):
+        x = (rng.standard_normal(6000) * 0.1).astype(np.float32)
+        y = x + (rng.standard_normal(6000) * 0.02).astype(np.float32)
+        rp, ep = str(tmp_path / f"r{i}.wav"), str(tmp_path / f"e{i}.wav")
+        wavwrite(rp, 16000, x[None])
+        wavwrite(ep, 16000, y[None])
+        ref.append(rp)
+        enh.append(ep)
+
+    S_native, _ = scoring.score_taskfiles(enh, ref)
+    # force the scipy path
+    import unittest.mock as mock
+    with mock.patch("drnmf_tpu.data.native_loader.native_available",
+                    return_value=False):
+        S_scipy, _ = scoring.score_taskfiles(enh, ref)
+    np.testing.assert_allclose(S_native, S_scipy, rtol=1e-5, atol=1e-5)
