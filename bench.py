@@ -8,9 +8,15 @@ utterances, and reports audio-seconds processed per wall-second.
 North star (BASELINE.md): > 100x real-time per TPU v5e chip on the flagship
 model (DR-NMF K=5, hidden 2r=2000, F=257, 16 kHz, N=512/hop=128 STFT).
 Prints one JSON line: value = real-time factor, vs_baseline = value / 100.
+
+``python bench.py --train`` additionally benchmarks the full training step
+(forward + backward + Adam at batch 32, maxlen 500 -- the reference's
+schedule, BASELINE.md "Iterations per epoch") and prints a second JSON line
+with training steps/second.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -86,5 +92,67 @@ def main():
     )
 
 
+def bench_train():
+    """Training-step throughput at the reference schedule (batch 32,
+    maxlen 500, flagship K=5/2r=2000 model, Adam)."""
+    import jax
+    import jax.numpy as jnp
+
+    from drnmf_tpu.models import (
+        DRNMFConfig,
+        init_drnmf_params,
+        drnmf_apply,
+        drnmf_trainable_mask,
+    )
+    from drnmf_tpu.train import TrainConfig, make_optimizer, masked_mse_signal_approx
+    from drnmf_tpu.train.loop import make_train_step
+
+    config = DRNMFConfig(
+        input_dim=257, r=1000, output_dim=257, K_layers=5,
+        alph=400.0, lam1=1.0,
+        params_untied=("log_D", "log_alph"),
+        params_trainable=("log_D", "log_alph"),
+    )
+    rng = np.random.default_rng(7654)
+    w = rng.uniform(0.01, 1.0, (257, 2000)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = jax.device_put(init_drnmf_params(config, w))
+
+    def loss_fn(p, x, y, mask):
+        irm = drnmf_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    opt = make_optimizer(TrainConfig(learning_rate=1e-3),
+                         drnmf_trainable_mask(config, params))
+    opt_state = opt.init(params)
+    step = make_train_step(loss_fn, opt)
+
+    bsz, maxlen = 32, 500
+    key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    x = jax.random.uniform(kx, (bsz, maxlen, 257), jnp.float32, 0.0, 2.0)
+    y = jax.random.uniform(ky, (bsz, maxlen, 257), jnp.float32, 0.0, 1.0)
+    mask = jnp.ones((bsz, maxlen), jnp.float32)
+
+    params, opt_state, loss = step(params, opt_state, x, y, mask)
+    jax.block_until_ready(loss)  # compile + first step
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        params, opt_state, loss = step(params, opt_state, x, y, mask)
+    jax.block_until_ready(loss)
+    per_step = (time.perf_counter() - t0) / n_iter
+    # reference scale: 17296 iterations/epoch at 100% data (BASELINE.md)
+    print(json.dumps({
+        "metric": "drnmf_train_steps_per_second",
+        "value": round(1.0 / per_step, 2),
+        "unit": "steps_per_s",
+        "epoch_seconds_full_chime2": round(per_step * 17296, 1),
+    }))
+
+
 if __name__ == "__main__":
     main()
+    if "--train" in sys.argv:
+        bench_train()
