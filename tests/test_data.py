@@ -149,3 +149,42 @@ def test_pad_axis_to_n():
     out = pad_axis_to_n(x, 1, 5, -1.0)
     assert out.shape == (2, 5, 4)
     assert np.all(out[:, 3:] == -1.0)
+
+
+def test_multichannel_stack_layout(tmp_path, rng):
+    """nch=2 featurization stacks channels channel-major ((F rows of ch0,
+    then F rows of ch1), the reference's F-major 'F'-order reshape,
+    util.py:333-336) and reconstruction inverts it."""
+    from drnmf_tpu.dsp import wavwrite
+    from drnmf_tpu.data.dataset import compute_stfts
+
+    n_fft, hop = 256, 64
+    f_bins = n_fft // 2 + 1
+    ch0 = (rng.standard_normal(4000) * 0.2).astype(np.float32)
+    ch1 = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    stereo = tmp_path / "st.wav"
+    wavwrite(str(stereo), 16000, np.stack([ch0, ch1]))
+    mono0 = tmp_path / "m0.wav"
+    mono1 = tmp_path / "m1.wav"
+    wavwrite(str(mono0), 16000, ch0[None])
+    wavwrite(str(mono1), 16000, ch1[None])
+
+    params2 = {"N": n_fft, "hop": hop, "nch": 2}
+    params1 = {"N": n_fft, "hop": hop, "nch": 1}
+    stack2, fidx2 = compute_stfts([str(stereo)], params2)
+    s0, _ = compute_stfts([str(mono0)], params1)
+    s1, _ = compute_stfts([str(mono1)], params1)
+
+    assert stack2.shape[0] == 2 * 2 * f_bins
+    nfr = fidx2[0, 1]
+    half = 2 * f_bins  # complex halves offset
+    # real parts: rows [0:F]=ch0, [F:2F]=ch1
+    np.testing.assert_allclose(stack2[:f_bins, :nfr], s0[:f_bins, :nfr],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(stack2[f_bins : 2 * f_bins, :nfr],
+                               s1[:f_bins, :nfr], rtol=1e-4, atol=1e-5)
+    # imag parts
+    np.testing.assert_allclose(stack2[half : half + f_bins, :nfr],
+                               s0[f_bins:, :nfr], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(stack2[half + f_bins :, :nfr],
+                               s1[f_bins:, :nfr], rtol=1e-4, atol=1e-5)
