@@ -129,6 +129,8 @@ class StreamingEnhancer:
         self._acc = jnp.zeros((n_fft,), jnp.float32)
         self._to_skip = n_fft  # trailing counterpart of the edge pad trim
         self._n_in = 0
+        self._emitted = 0
+        self._finished = False
 
     @property
     def latency_samples(self) -> int:
@@ -153,10 +155,13 @@ class StreamingEnhancer:
                 out = out[cut:]
                 self._to_skip -= cut
             if out.size:
+                self._emitted += len(out)
                 outs.append(out)
         return np.concatenate(outs) if outs else np.zeros(0, np.float32)
 
     def process(self, samples) -> np.ndarray:
+        if self._finished:
+            raise RuntimeError("stream flushed; call reset() to reuse")
         samples = np.asarray(samples, np.float32).reshape(-1)
         self._n_in += len(samples)
         self._buf = np.concatenate([self._buf, samples])
@@ -165,21 +170,22 @@ class StreamingEnhancer:
     def flush(self) -> np.ndarray:
         """Drain: emit exactly what the offline pipeline would produce for
         the signal seen so far (ceil(n/hop)*hop samples total, minus what
-        ``process`` already emitted)."""
-        n_fft, hop = self.n_fft, self.hop
+        ``process`` already emitted).  The stream is finished afterwards;
+        ``reset()`` before reuse."""
+        if self._finished:
+            return np.zeros(0, np.float32)
+        self._finished = True
+        hop = self.hop
         n_blocks = -(-self._n_in // hop) if self._n_in else 0
         total_target = n_blocks * hop  # offline trimmed output length
-        emitted_so_far = max(0, self._n_in + n_fft - len(self._buf) - n_fft)
         # pad with zeros until every needed frame has been processed; zero
         # frames contribute nothing (mask * 0 spectrum == 0)
-        remaining = total_target - emitted_so_far
         outs = []
-        while remaining > 0:
-            pad = self.block * hop
+        while self._emitted < total_target:
+            deficit = total_target - self._emitted
             self._buf = np.concatenate(
-                [self._buf, np.zeros(pad, np.float32)])
+                [self._buf, np.zeros(self.block * hop, np.float32)])
             out = self._run_blocks()
             if out.size:
-                outs.append(out[: remaining])
-                remaining -= min(len(out), remaining)
+                outs.append(out[:deficit])
         return np.concatenate(outs) if outs else np.zeros(0, np.float32)

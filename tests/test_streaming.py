@@ -71,3 +71,16 @@ def test_streaming_latency_bound(small_model):
     # tiny dribble: nothing can be emitted before the latency bound
     out = enh.process(np.zeros(16, np.float32))
     assert out.size == 0
+
+
+def test_streaming_flush_is_final(rng, small_model):
+    params, config = small_model
+    enh = StreamingEnhancer(params, config, 64, 16, block_frames=8)
+    x = (rng.standard_normal(500) * 0.2).astype(np.float32)
+    enh.process(x)
+    first = enh.flush()
+    assert first.size > 0
+    # double flush emits nothing; process after flush is an error
+    assert enh.flush().size == 0
+    with pytest.raises(RuntimeError, match="reset"):
+        enh.process(x)
