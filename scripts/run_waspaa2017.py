@@ -119,20 +119,42 @@ def data_config(downsample, taskfile_dir="."):
     return cfg
 
 
-def generate_configs(downsample, taskfile_dir="."):
+# miniature grid for --smoke: exercises every model family and the
+# SNMF-dictionary cache reuse between the snmf and unfolded_snmf runs
+SMOKE_GRID = [
+    ("snmf", {"r": 8, "lam1": 0.5, "cf": "ed", "snmf_max_iter": 20,
+              "snmf_conv_eps": 1e-4, "infer_max_iter": 10,
+              "random_seed": 2016}),
+    ("lstm", {"K_layers": 2, "hidden_dim": 8, "batch_size": 4, "clipnorm": 1.0,
+              "epochs": 2, "learning_rate": 1e-4, "loss": "mse_of_masked",
+              "optimizer": "adam", "patience": 50}),
+    ("unfolded_snmf", {"K_layers": 2, "r": 8, "alph": 10.0, "lam1": 0.5,
+                       "batch_size": 4, "clipnorm": 0.0, "epochs": 2,
+                       "learning_rate": 1e-3, "loss": "mse_of_masked",
+                       "optimizer": "adam",
+                       "params_trainable": ["log_D", "log_alph"],
+                       "params_untied": ["log_D", "log_alph"],
+                       "patience": 50, "snmf_max_iter": 20,
+                       "snmf_conv_eps": 1e-4}),
+]
+
+
+def generate_configs(downsample, taskfile_dir=".", grid=None,
+                     data_config_path=None):
     """Write params_data.yaml + the hashed model-config grid for one setup.
     Returns (data_config_path, [model_config_paths in run order])."""
     setup = f"data_setup_downsample{downsample}"
     os.makedirs(os.path.join(setup, "configs"), exist_ok=True)
-    data_path = os.path.join(setup, "params_data.yaml")
-    dump_yaml(data_config(downsample, taskfile_dir), data_path)
+    if data_config_path is None:
+        data_config_path = os.path.join(setup, "params_data.yaml")
+        dump_yaml(data_config(downsample, taskfile_dir), data_config_path)
     model_paths = []
-    for model_type, cfg in GRID:
+    for model_type, cfg in (grid or GRID):
         h = config_hash(cfg)
         path = os.path.join(setup, "configs", f"params_{model_type}_{h}.yaml")
         dump_yaml(cfg, path)
         model_paths.append(path)
-    return data_path, model_paths
+    return data_config_path, model_paths
 
 
 def main():
@@ -145,6 +167,12 @@ def main():
     parser.add_argument("--dry-run", action="store_true",
                         help="print the commands without running")
     parser.add_argument("--pesq", action="store_true")
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny 3-model grid (one per family) for a fast "
+                        "end-to-end check of the whole orchestration")
+    parser.add_argument("--data-config", default=None,
+                        help="use an existing params_data.yaml instead of "
+                        "generating the CHiME2 one (e.g. a synthetic corpus)")
     args = parser.parse_args()
 
     from drnmf_tpu import cli
@@ -154,9 +182,14 @@ def main():
     except ValueError:
         parser.error(f"--downsamples must be comma-separated integers, "
                      f"got '{args.downsamples}'")
+    if args.smoke:
+        downsamples = downsamples[:1]
 
+    grid = SMOKE_GRID if args.smoke else None
     for ds in downsamples:
-        data_path, model_paths = generate_configs(ds, args.taskfile_dir)
+        data_path, model_paths = generate_configs(
+            ds, args.taskfile_dir, grid=grid,
+            data_config_path=args.data_config)
         print(f"== data setup downsample{ds}: {data_path}")
         for mp in model_paths:
             print(f"   {mp}")

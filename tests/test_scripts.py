@@ -97,3 +97,11 @@ def test_print_scores_empty(tmp_path):
             str(tmp_path))
     assert r.returncode != 0
     assert "no configs" in r.stderr
+
+
+def test_run_waspaa2017_smoke_generate(tmp_path):
+    r = run([os.path.join(SCRIPTS, "run_waspaa2017.py"), "--smoke",
+             "--generate-only"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    cfgs = os.listdir(tmp_path / "data_setup_downsample10" / "configs")
+    assert len(cfgs) == 3  # one per model family
