@@ -152,7 +152,44 @@ def bench_train():
     }))
 
 
+def bench_snmf():
+    """Sparse NMF dictionary training at the reference's GPU-chunk scale:
+    r=1000 (2r=2000 atoms), F=257, one full 140k-frame chunk
+    (frame_batch_size = 700000*(200/r), snmf.py:33-36), beta=2, L1 sparsity,
+    L2-normalized W columns -- the workload the reference ran in MATLAB
+    gpuArray (sparse_nmf_gpu.m:188-298)."""
+    import jax
+    import jax.numpy as jnp
+
+    from drnmf_tpu.ops import SNMFParams
+    from drnmf_tpu.ops.snmf import sparse_nmf
+
+    f_bins, r2 = 257, 2000
+    n_frames = 140_000  # reference chunk size at r=1000
+    key = jax.random.PRNGKey(0)
+    v = jax.random.uniform(key, (f_bins, n_frames), jnp.float32, 0.01, 1.0)
+    v.block_until_ready()
+
+    n_iter = 50
+    params = SNMFParams(r=r2, cf="ed", sparsity=1.0, max_iter=n_iter,
+                        conv_eps=0.0, random_seed=2016)
+    # device_output: H is (2000, 140k) = 1.1 GB -- fetching it would swamp
+    # the measurement (and under axon, the host tunnel)
+    res = sparse_nmf(v, params, device_output=True)  # compile + run
+    t0 = time.perf_counter()
+    res = sparse_nmf(v, params, device_output=True)
+    per_iter = (time.perf_counter() - t0) / n_iter
+    print(json.dumps({
+        "metric": "snmf_mu_iterations_per_second",
+        "value": round(1.0 / per_iter, 2),
+        "unit": "iters_per_s",
+        "seconds_for_1000_iter_dictionary": round(per_iter * 1000, 1),
+    }))
+
+
 if __name__ == "__main__":
     main()
     if "--train" in sys.argv:
         bench_train()
+    if "--snmf" in sys.argv:
+        bench_snmf()

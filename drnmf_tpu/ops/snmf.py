@@ -245,8 +245,13 @@ def _prepare(v_shape, params: SNMFParams, key):
     return w0, h0, sparsity, w_mask, h_mask
 
 
-def sparse_nmf(v, params: SNMFParams, key=None) -> SNMFResult:
-    """Run sparse NMF on a single in-HBM chunk.  v: (m, n) nonnegative."""
+def sparse_nmf(v, params: SNMFParams, key=None,
+               device_output: bool = False) -> SNMFResult:
+    """Run sparse NMF on a single in-HBM chunk.  v: (m, n) nonnegative.
+
+    ``device_output=True`` leaves W/H as jax arrays in HBM (H is (r, n) --
+    at corpus scale fetching it to host costs far more than the solve; keep
+    it on device when the consumer is another on-device stage)."""
     if key is None:
         key = jax.random.PRNGKey(int(params.random_seed))
     v = jnp.asarray(v, jnp.float32)
@@ -258,6 +263,14 @@ def sparse_nmf(v, params: SNMFParams, key=None) -> SNMFResult:
         conv_eps=float(params.conv_eps),
     )
     n_iter = int(n_iter)
+    if device_output:
+        jax.block_until_ready(w)
+        return SNMFResult(
+            w=w, h=h,
+            div=np.asarray(divs)[:n_iter],
+            cost=np.asarray(costs)[:n_iter],
+            n_iter=n_iter,
+        )
     return SNMFResult(
         w=np.asarray(w),
         h=np.asarray(h),
