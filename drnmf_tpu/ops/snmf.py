@@ -312,9 +312,11 @@ def sparse_nmf_chunked(
     n_chunks = max(1, -(-n // frame_chunk))
 
     if n_chunks == 1:
-        res = sparse_nmf(v, params, key=key)
+        res = sparse_nmf(v, params, key=key, device_output=not save_h)
         if not save_h:
-            res.h = None
+            # only W leaves the device (H can be GBs at corpus scale)
+            return SNMFResult(w=np.asarray(res.w), h=None, div=res.div,
+                              cost=res.cost, n_iter=res.n_iter)
         return res
 
     from dataclasses import replace
@@ -329,7 +331,11 @@ def sparse_nmf_chunked(
             print(f"sparse NMF: chunk {i + 1} of {n_chunks}")
         key, sub = jax.random.split(key)
         chunk = v[:, i * frame_chunk : (i + 1) * frame_chunk]
-        res = sparse_nmf(chunk, replace(params, init_w=init_w), key=sub)
+        res = sparse_nmf(chunk, replace(params, init_w=init_w), key=sub,
+                         device_output=not save_h)
+        if not save_h:
+            res = SNMFResult(w=np.asarray(res.w), h=None, div=res.div,
+                             cost=res.cost, n_iter=res.n_iter)
         if w_ind is not None and init_w is not None:
             init_w = np.array(init_w, np.float32, copy=True)
             if init_w.shape[1] < r:  # first chunk grew W to full r
