@@ -72,15 +72,20 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
 
         enh_data, enh_len = read_batch(list(enhanced_files))
         ref_data, ref_len = read_batch(list(reference_files))
-        fs = wav_info(reference_files[0])[2]
-        fs_enh = wav_info(enhanced_files[0])[2]
-        if fs != fs_enh:
-            raise ValueError(f"fs mismatch: {fs_enh} vs {fs}")
+        # per-pair sample-rate check (header reads are cheap), preserving the
+        # scipy path's fs-mismatch error semantics
+        fs_ref = [wav_info(p)[2] for p in reference_files]
+        fs_enh = [wav_info(p)[2] for p in enhanced_files]
+        for i, (fr, fe) in enumerate(zip(fs_ref, fs_enh)):
+            if fr != fe:
+                raise ValueError(
+                    f"fs mismatch: {fe} vs {fr} for {enhanced_files[i]}"
+                )
 
         def job(i):
             return _score_pair(
-                enh_data[i, : enh_len[i]], ref_data[i, : ref_len[i]], fs,
-                compute_pesq=compute_pesq,
+                enh_data[i, : enh_len[i]], ref_data[i, : ref_len[i]],
+                fs_ref[i], compute_pesq=compute_pesq,
             )
 
         scores = [job(0)]  # warm the jit caches

@@ -192,6 +192,33 @@ _ACTIVATIONS = {
 }
 
 
+def make_cell_step(config: DRNMFConfig, U, S, W, b):
+    """One DR-NMF timestep honoring activation / connect_input_to_layers /
+    matmul_precision -- the shared cell for the inference-path consumers
+    (streaming, sequence-pipelined scan).  No dropout (inference) and no
+    return_all_hidden (callers consume the top layer).
+
+    step(h_prev (B, 2r), x_t (B, F)) -> hidden (B, 2r)."""
+    act = _ACTIVATIONS[config.activation]
+    prec = _precision(config)
+
+    def step(h_prev, x_t):
+        hidden = None
+        for k in range(config.K_layers):
+            pre = jnp.dot(h_prev, U[k], precision=prec,
+                          preferred_element_type=jnp.float32)
+            if k > 0:
+                pre = pre + jnp.dot(hidden, S[k - 1], precision=prec,
+                                    preferred_element_type=jnp.float32)
+            if config.connect_input_to_layers:
+                pre = pre + jnp.dot(x_t, W[k], precision=prec,
+                                    preferred_element_type=jnp.float32)
+            hidden = act(pre + b[k])
+        return hidden
+
+    return step
+
+
 def _dropout_mask(key, shape, rate):
     """Keras K.dropout semantics: Bernoulli keep mask scaled by 1/(1-rate),
     fixed per sequence (variational dropout, custom_layers.py:377-395)."""

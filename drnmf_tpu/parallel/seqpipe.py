@@ -27,23 +27,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.drnmf import _effective_matrices
+from ..models.drnmf import _effective_matrices, make_cell_step
 
 
-def _cell_step_factory(config, U, S, W, b):
-    """One masked DR-NMF timestep (same math as models.drnmf._scan_hidden's
-    plain path; relu/connect-input, the paper cell)."""
+def _masked_step_factory(config, U, S, W, b):
+    """Masked timestep over the shared cell (honors activation /
+    connect_input_to_layers / matmul_precision like the single-device
+    scan)."""
+    cell = make_cell_step(config, U, S, W, b)
 
     def step(h_prev, inp):
         x_t, m_t = inp
-        hidden = None
-        for k in range(config.K_layers):
-            pre = jnp.dot(h_prev, U[k], preferred_element_type=jnp.float32)
-            if k > 0:
-                pre = pre + jnp.dot(hidden, S[k - 1],
-                                    preferred_element_type=jnp.float32)
-            pre = pre + jnp.dot(x_t, W[k], preferred_element_type=jnp.float32)
-            hidden = jax.nn.relu(pre + b[k])
+        hidden = cell(h_prev, x_t)
         h_new = jnp.where(m_t[:, None], hidden, h_prev)
         return h_new, h_new
 
@@ -59,6 +54,11 @@ def drnmf_scan_seq_pipelined(params, config, x, step_mask, mesh,
     numerically identical to the single-device ``lax.scan`` (the pipeline
     only reorders *where* chunks run, not the math).
     """
+    if config.return_all_hidden or config.dropout_W or config.dropout_U:
+        raise NotImplementedError(
+            "sequence-pipelined scan supports the inference cell only "
+            "(no return_all_hidden, no dropout); use the single-device scan"
+        )
     n_sp = mesh.shape[axis_name]
     bsz, t_total, f_dim = x.shape
     if t_total % n_sp:
@@ -74,7 +74,7 @@ def drnmf_scan_seq_pipelined(params, config, x, step_mask, mesh,
         h0 = jax.nn.softplus(params["log_h0"])
     else:
         h0 = params["h0"]
-    step = _cell_step_factory(config, U, S, W, b)
+    step = _masked_step_factory(config, U, S, W, b)
 
     def local(x_loc, m_loc):
         # x_loc: (B, T/P, F) -- this device's time chunk, all groups

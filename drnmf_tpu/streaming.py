@@ -36,7 +36,13 @@ import numpy as np
 
 from .dsp.stft import _dft_matrices, _use_mxu_dft
 from .dsp.windows import sqrt_hann_periodic
-from .models.drnmf import DRNMFConfig, _effective_matrices, _heads, _ratio_mask
+from .models.drnmf import (
+    DRNMFConfig,
+    _effective_matrices,
+    _heads,
+    _ratio_mask,
+    make_cell_step,
+)
 
 
 def _make_block_step(config: DRNMFConfig, n_fft: int, hop: int):
@@ -44,11 +50,9 @@ def _make_block_step(config: DRNMFConfig, n_fft: int, hop: int):
     (out (k*hop,), h', acc')."""
     window = jnp.asarray(sqrt_hann_periodic(n_fft))
     syn = window * jnp.float32(2.0 / (n_fft / hop))
-    f_bins = n_fft // 2 + 1
 
     @jax.jit
     def step(params, frames, h, acc):
-        k = frames.shape[0]
         U, S, W, b = _effective_matrices(params, config)
         fr = frames * window
         if _use_mxu_dft():
@@ -61,18 +65,13 @@ def _make_block_step(config: DRNMFConfig, n_fft: int, hop: int):
             re, im = jnp.real(spec), jnp.imag(spec)
         mag = jnp.sqrt(re * re + im * im)  # (k, F)
 
+        # shared inference cell: honors activation / connect_input /
+        # matmul_precision exactly like the offline scan
+        base_cell = make_cell_step(config, U, S, W, b)
+
         def cell(h_prev, x_t):
-            hidden = None
-            for kk in range(config.K_layers):
-                pre = jnp.dot(h_prev[None, :], U[kk],
-                              preferred_element_type=jnp.float32)
-                if kk > 0:
-                    pre = pre + jnp.dot(hidden, S[kk - 1],
-                                        preferred_element_type=jnp.float32)
-                pre = pre + jnp.dot(x_t[None, :], W[kk],
-                                    preferred_element_type=jnp.float32)
-                hidden = jax.nn.relu(pre + b[kk])
-            return hidden[0], hidden[0]
+            hidden = base_cell(h_prev[None, :], x_t[None, :])[0]
+            return hidden, hidden
 
         h_fin, hs = jax.lax.scan(cell, h, mag)  # hs: (k, 2r)
         clean_est, noise_est = _heads(params, config, hs)
@@ -111,6 +110,11 @@ class StreamingEnhancer:
 
     def __init__(self, params, config: DRNMFConfig, n_fft: int = 512,
                  hop: int = 128, block_frames: int = 64):
+        if config.dropout_W or config.dropout_U:
+            raise NotImplementedError(
+                "streaming is an inference path; dropout configs are "
+                "training-only"
+            )
         if config.nonnegative:
             h0 = jax.nn.softplus(params["log_h0"])
         else:
@@ -137,7 +141,7 @@ class StreamingEnhancer:
         """Worst-case samples buffered before output emerges."""
         return (self.block - 1) * self.hop + self.n_fft
 
-    def _run_blocks(self, emit_limit=None):
+    def _run_blocks(self):
         n_fft, hop, k = self.n_fft, self.hop, self.block
         need = (k - 1) * hop + n_fft
         outs = []

@@ -21,9 +21,10 @@ import jax
 
 
 def device_sync():
-    """Block until outstanding device computations finish."""
-    for d in jax.live_arrays():
-        pass  # live_arrays enumeration is cheap; block_until_ready below
+    """Block until outstanding device computations finish (all devices --
+    a dummy-op flush only covers the default device)."""
+    for arr in jax.live_arrays():
+        arr.block_until_ready()
     (jax.device_put(0.0) + 0).block_until_ready()
 
 
@@ -75,13 +76,16 @@ class StageTimer:
         return "\n".join(lines)
 
     def to_json(self):
+        rtf = self.realtime_factor()
         return json.dumps({
             "stages": [
                 {"name": n, "seconds": s, "audio_seconds": a}
                 for n, s, a in self.stages
             ],
             "total_seconds": self.total_seconds(),
-            "realtime_factor": self.realtime_factor(),
+            # None instead of float('inf'): json.dumps would emit the
+            # non-standard literal Infinity
+            "realtime_factor": rtf if rtf != float("inf") else None,
         })
 
 

@@ -49,12 +49,11 @@ def model_rows(folder_exp, splits=("valid", "test")):
             trainable = cfg.get("params_trainable")
             keys = None
             if trainable:
-                untied = set(cfg.get("params_untied", []))
-                keys = []
-                for t in trainable:
-                    keys.append(t)
-                # untied params live as <name>_<k>; prefix match covers both
-                keys += ["log_h0", "h0", "log_W_clean", "log_W_noise"]
+                # untied params are stored as <name>_<k>; the prefix match
+                # inside count_trainable_params covers tied and untied alike
+                keys = list(trainable) + [
+                    "log_h0", "h0", "log_W_clean", "log_W_noise"
+                ]
             n_params = count_trainable_params(ckpt, trainable_keys=keys)
 
         histfile = os.path.join(folder_exp, "history", f"history_{tag}")

@@ -184,6 +184,12 @@ def main():
                      f"got '{args.downsamples}'")
     if args.smoke:
         downsamples = downsamples[:1]
+    if args.data_config:
+        # the CLI derives its experiment dir from the data config's own
+        # 'downsample'; keep configs and the final summary in that folder
+        from drnmf_tpu.utils import load_yaml
+
+        downsamples = [int(load_yaml(args.data_config).get("downsample", 1))]
 
     grid = SMOKE_GRID if args.smoke else None
     for ds in downsamples:

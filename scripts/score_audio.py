@@ -59,9 +59,11 @@ def main():
                     f"{len(missing)} enhanced file(s) for description "
                     f"'{args.desc}' not found, e.g. {missing[0]}"
                 )
-            savefile = args.savefile or f"scores_{args.desc}_{snr}.npz"
             if args.savefile:
-                savefile = args.savefile.replace(".npz", f"_{snr}.npz")
+                base, ext = os.path.splitext(args.savefile)
+                savefile = f"{base}_{snr}{ext or '.npz'}"
+            else:
+                savefile = f"scores_{args.desc}_{snr}.npz"
             print(f"Scoring SNR {snr} ({len(refs_snr)} files) -> {savefile}")
             S, _ = score_taskfiles(
                 enh_snr, refs_snr, savefile=savefile,
