@@ -59,6 +59,10 @@ class SNMFParams:
     w_update_ind: Optional[np.ndarray] = None  # bool (r,)
     h_update_ind: Optional[np.ndarray] = None  # bool (r,)
     display: bool = False
+    # experimental: fused Pallas MU kernel (beta=2, all-True h_update_ind
+    # only; see ops/pallas/snmf_mu.py STATUS note -- currently slower than
+    # the XLA core on v5e, kept for kernel iteration)
+    use_pallas: bool = False
 
     def resolved_beta(self) -> float:
         if self.cf == "is":
@@ -256,12 +260,21 @@ def sparse_nmf(v, params: SNMFParams, key=None,
         key = jax.random.PRNGKey(int(params.random_seed))
     v = jnp.asarray(v, jnp.float32)
     w0, h0, sparsity, w_mask, h_mask = _prepare(v.shape, params, key)
-    w, h, divs, costs, n_iter = _sparse_nmf_core(
-        v, w0, h0, sparsity, w_mask, h_mask,
-        beta=params.resolved_beta(),
-        max_iter=int(params.max_iter),
-        conv_eps=float(params.conv_eps),
-    )
+    beta = params.resolved_beta()
+    if params.use_pallas and beta == 2.0 and bool(np.all(np.asarray(h_mask))):
+        from .pallas.snmf_mu import sparse_nmf_ed_pallas
+
+        w, h, divs, costs, n_iter = sparse_nmf_ed_pallas(
+            v, w0, h0, float(np.asarray(sparsity).reshape(-1)[0]), w_mask,
+            max_iter=int(params.max_iter), conv_eps=float(params.conv_eps),
+        )
+    else:
+        w, h, divs, costs, n_iter = _sparse_nmf_core(
+            v, w0, h0, sparsity, w_mask, h_mask,
+            beta=beta,
+            max_iter=int(params.max_iter),
+            conv_eps=float(params.conv_eps),
+        )
     n_iter = int(n_iter)
     if device_output:
         jax.block_until_ready(w)

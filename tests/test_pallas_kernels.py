@@ -41,3 +41,80 @@ def test_vmem_feasibility_estimates():
     assert not pallas_scan_supported(5, 2000, 257, 32)
     # ... but does in bf16
     assert pallas_scan_supported(5, 2000, 257, 32, dtype_bytes=2)
+
+
+def test_snmf_mu_pallas_matches_xla_core(rng):
+    """Fused Pallas ED MU optimization == the XLA while_loop core (beta=2),
+    including objective history and W freezing."""
+    import jax.numpy as jnp
+    from drnmf_tpu.ops.snmf import _sparse_nmf_core
+    from drnmf_tpu.ops.pallas.snmf_mu import sparse_nmf_ed_pallas
+
+    m, r, n = 17, 6, 40
+    v = rng.uniform(0.01, 1.0, (m, n)).astype(np.float32)
+    w0 = rng.uniform(0.1, 1.0, (m, r)).astype(np.float32)
+    h0 = rng.uniform(0.1, 1.0, (r, n)).astype(np.float32)
+    w_mask = np.array([True] * 3 + [False] * 3)
+
+    w_ref, h_ref, divs_ref, costs_ref, it_ref = _sparse_nmf_core(
+        jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0),
+        jnp.float32(0.7), jnp.asarray(w_mask), jnp.ones((r,), bool),
+        beta=2.0, max_iter=8, conv_eps=0.0,
+    )
+    w_p, h_p, divs_p, costs_p, it_p = sparse_nmf_ed_pallas(
+        v, w0, h0, 0.7, jnp.asarray(w_mask), max_iter=8, conv_eps=0.0,
+        interpret=True,
+    )
+    assert int(it_p) == int(it_ref)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(costs_p), np.asarray(costs_ref),
+                               rtol=2e-4)
+
+
+def test_snmf_mu_pallas_conv_eps(rng):
+    """Early stop fires identically."""
+    import jax.numpy as jnp
+    from drnmf_tpu.ops.snmf import _sparse_nmf_core
+    from drnmf_tpu.ops.pallas.snmf_mu import sparse_nmf_ed_pallas
+
+    m, r, n = 9, 4, 20
+    v = rng.uniform(0.01, 1.0, (m, n)).astype(np.float32)
+    w0 = rng.uniform(0.1, 1.0, (m, r)).astype(np.float32)
+    h0 = rng.uniform(0.1, 1.0, (r, n)).astype(np.float32)
+    _, _, _, _, it_ref = _sparse_nmf_core(
+        jnp.asarray(v), jnp.asarray(w0), jnp.asarray(h0),
+        jnp.float32(0.0), jnp.ones((r,), bool), jnp.ones((r,), bool),
+        beta=2.0, max_iter=200, conv_eps=1e-3,
+    )
+    _, _, _, _, it_p = sparse_nmf_ed_pallas(
+        v, w0, h0, 0.0, jnp.ones((r,), bool), max_iter=200, conv_eps=1e-3,
+        interpret=True,
+    )
+    assert abs(int(it_p) - int(it_ref)) <= 1  # f32 cost roundoff at the stop
+
+
+def test_snmf_use_pallas_routing(rng):
+    """SNMFParams.use_pallas routes to the fused kernel with matching
+    results (interpret-mode CPU check via monkeypatched default)."""
+    import jax.numpy as jnp
+    from drnmf_tpu.ops import SNMFParams
+    from drnmf_tpu.ops.snmf import sparse_nmf
+    from drnmf_tpu.ops.pallas import snmf_mu
+    import unittest.mock as mock
+
+    m, r, n = 11, 4, 30
+    v = rng.uniform(0.01, 1.0, (m, n)).astype(np.float32)
+    base = dict(r=r, cf="ed", sparsity=0.3, max_iter=5, conv_eps=0.0,
+                random_seed=3)
+    res_xla = sparse_nmf(v, SNMFParams(**base))
+    orig = snmf_mu.sparse_nmf_ed_pallas
+    with mock.patch.object(
+        snmf_mu, "sparse_nmf_ed_pallas",
+        lambda *a, **k: orig(*a, interpret=True, **k),
+    ):
+        res_p = sparse_nmf(v, SNMFParams(**base, use_pallas=True))
+    np.testing.assert_allclose(res_p.w, res_xla.w, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(res_p.cost, res_xla.cost, rtol=2e-4)
