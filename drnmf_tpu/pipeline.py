@@ -294,6 +294,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
             savefile=savefile, histfile=histfile,
             eval_loss_fn=loss_fn if use_dropout else None,
             loss_takes_rng=use_dropout,
+            resume=bool(params_model.get("resume", False)),
         )
     else:
         best_params, _ = load_checkpoint(savefile)
@@ -381,6 +382,7 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
         best_params, _ = train_model(
             params, loss_fn, train_data, valid_data, tc,
             savefile=savefile, histfile=histfile,
+            resume=bool(params_model.get("resume", False)),
         )
     else:
         best_params, _ = load_checkpoint(savefile)

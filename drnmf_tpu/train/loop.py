@@ -18,6 +18,8 @@ batches stream host->device per step, and with a provided
 (gradients are reduced by XLA-inserted collectives over ICI).
 """
 
+import os
+import pickle
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -30,6 +32,33 @@ import optax
 
 from .history import LossHistory
 from .checkpoint import save_checkpoint
+
+
+def _save_train_state(path, epoch, params, opt_state, best_params, best_val,
+                      wait, global_step):
+    """Full training state for elastic resume (written atomically)."""
+    flat_opt, treedef = jax.tree.flatten(opt_state)
+    state = {
+        "epoch": epoch,
+        "params": {k: np.asarray(v) for k, v in params.items()},
+        "opt_leaves": [np.asarray(x) for x in flat_opt],
+        "best_params": {k: np.asarray(v) for k, v in best_params.items()},
+        "best_val": float(best_val),
+        "wait": int(wait),
+        "global_step": int(global_step),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f)
+    os.replace(tmp, path)
+
+
+def _load_train_state(path, opt_state_template):
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    _, treedef = jax.tree.flatten(opt_state_template)
+    opt_state = jax.tree.unflatten(treedef, state["opt_leaves"])
+    return state, opt_state
 
 
 @dataclass
@@ -127,6 +156,7 @@ def train_model(
     mesh=None,
     eval_loss_fn: Optional[Callable] = None,
     loss_takes_rng: bool = False,
+    resume: bool = False,
 ):
     """Fit with early stopping; returns (best_params, history).
 
@@ -134,6 +164,15 @@ def train_model(
     With ``loss_takes_rng`` the training loss receives a fresh PRNG key per
     batch (dropout); validation uses ``eval_loss_fn`` (defaults to
     ``loss_fn``), always rng-free -- Keras in_train_phase semantics.
+
+    ``resume=True`` (requires ``savefile``) checkpoints the FULL training
+    state (params, Adam moments, early-stop counters, epoch) after every
+    epoch and, if a state file exists, continues from it EXACTLY as if the
+    run had never stopped: the host RNG is fast-forwarded so batch
+    permutations (and dropout keys, which derive from the global step) of
+    the completed epochs are replayed, not re-drawn.  The reference had no
+    equivalent -- a killed run restarted from epoch 0 (best weights were
+    kept but optimizer state and schedule were lost).
     """
     optimizer = make_optimizer(train_config, trainable_mask)
     opt_state = optimizer.init(params)
@@ -150,8 +189,26 @@ def train_model(
     best_val = np.inf
     best_params = {k: np.asarray(v) for k, v in params.items()}
     wait = 0
+    start_epoch = 0
 
-    for epoch in range(train_config.epochs):
+    state_file = (savefile + ".train_state") if (resume and savefile) else None
+    if state_file and os.path.exists(state_file):
+        state, opt_state = _load_train_state(state_file, opt_state)
+        params = {k: jnp.asarray(v) for k, v in state["params"].items()}
+        best_params = state["best_params"]
+        best_val = state["best_val"]
+        wait = state["wait"]
+        global_step = state["global_step"]
+        start_epoch = state["epoch"] + 1
+        # fast-forward the host RNG past the completed epochs so the batch
+        # permutations of the remaining epochs match the uninterrupted run
+        for _ in range(start_epoch):
+            rng.permutation(n)
+        if train_config.verbose:
+            print(f"resuming from epoch {start_epoch} "
+                  f"(best val_loss {best_val:.6f})")
+
+    for epoch in range(start_epoch, train_config.epochs):
         t0 = time.time()
         order = rng.permutation(n)
         epoch_loss, n_batches = 0.0, 0
@@ -188,10 +245,15 @@ def train_model(
             wait = 0
         else:
             wait += 1
-            if wait > train_config.patience:
-                if train_config.verbose:
-                    print(f"early stopping at epoch {epoch + 1}")
-                break
+
+        if state_file:
+            _save_train_state(state_file, epoch, params, opt_state,
+                              best_params, best_val, wait, global_step)
+
+        if wait > train_config.patience:
+            if train_config.verbose:
+                print(f"early stopping at epoch {epoch + 1}")
+            break
 
     if train_config.epochs == 0 and savefile is not None:
         # reference quirk kept on purpose: epochs=0 snapshots initialization

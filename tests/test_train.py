@@ -172,3 +172,41 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for k in params:
         np.testing.assert_array_equal(np.asarray(restored[k]), params[k])
     assert float(meta["val_loss"]) == 0.5
+
+
+def test_train_resume_exact_continuation(tmp_path, rng):
+    """Interrupted training resumed from the state file produces the SAME
+    final parameters and history tail as an uninterrupted run (optimizer
+    moments, early-stop counters, and batch permutations all restored)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from drnmf_tpu.train import TrainConfig, train_model, load_checkpoint
+
+    n, t, f = 12, 6, 5
+    x = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    mask = np.ones((n, t), np.float32)
+    params0 = {"w": jnp.zeros((f, f), jnp.float32),
+               "b": jnp.zeros((f,), jnp.float32)}
+
+    def loss_fn(p, xb, yb, mb):
+        pred = xb @ p["w"] + p["b"]
+        return jnp.mean((pred - yb) ** 2)
+
+    def run(save, epochs, resume=False):
+        return train_model(
+            dict(params0), loss_fn, (x, y, mask), (x, y, mask),
+            TrainConfig(epochs=epochs, batch_size=4, learning_rate=1e-2,
+                        verbose=False),
+            savefile=save, resume=resume,
+        )
+
+    full, _ = run(str(tmp_path / "full.npz"), 6, resume=True)
+    # interrupted: 3 epochs, then continue to 6 from the state file
+    run(str(tmp_path / "part.npz"), 3, resume=True)
+    assert (tmp_path / "part.npz.train_state").exists()
+    resumed, _ = run(str(tmp_path / "part.npz"), 6, resume=True)
+
+    for k in full:
+        np.testing.assert_allclose(np.asarray(resumed[k]), np.asarray(full[k]),
+                                   rtol=1e-6, atol=1e-7)
