@@ -68,6 +68,7 @@ def main(argv=None):
     common = dict(
         flag_recompute=args.recompute,
         flag_score=not args.no_score,
+        flag_rescore=args.rescore,
         compute_pesq=args.pesq,
         verbose=not args.quiet,
         splits=splits,

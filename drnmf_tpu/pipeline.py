@@ -169,7 +169,8 @@ def _dict_from_config(params_model, params_data, datasets, folder_exp,
 
 def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
                       flag_recompute=False, flag_score=True,
-                      compute_pesq=False, verbose=True, splits=("valid", "test")):
+                      compute_pesq=False, verbose=True,
+                      splits=("valid", "test"), flag_rescore=False):
     """The 'unfolded_snmf' branch of the reference driver
     (enhance.py:933-1236)."""
     ensure_experiment_dirs(folder_exp)
@@ -322,6 +323,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
             results[split] = score_split(
                 datasets[split], desc, folder_exp + "/",
                 compute_pesq=compute_pesq, verbose=verbose,
+                flag_rescore=flag_rescore,
             )
             if verbose:
                 print(f"Enhancement timing ({split}):\n{timer.report()}")
@@ -330,7 +332,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
 
 def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
              flag_score=True, compute_pesq=False, verbose=True,
-             splits=("valid", "test")):
+             splits=("valid", "test"), flag_rescore=False):
     """The 'lstm' branch (enhance.py:1239-1388)."""
     ensure_experiment_dirs(folder_exp)
     datasets = build_datasets(params_data)
@@ -403,13 +405,14 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
             results[split] = score_split(
                 datasets[split], desc, folder_exp + "/",
                 compute_pesq=compute_pesq, verbose=verbose,
+                flag_rescore=flag_rescore,
             )
     return best_params, config, results
 
 
 def run_snmf(params_model, params_data, folder_exp, path_dicts=None,
              flag_recompute=False, flag_score=True, compute_pesq=False,
-             verbose=True, splits=("valid", "test")):
+             verbose=True, splits=("valid", "test"), flag_rescore=False):
     """The 'snmf' branch (enhance.py:750-928): dictionary + frozen-W MU
     inference as the enhancer."""
     ensure_experiment_dirs(folder_exp)
@@ -456,5 +459,6 @@ def run_snmf(params_model, params_data, folder_exp, path_dicts=None,
             results[split] = score_split(
                 ds, desc, folder_exp + "/",
                 compute_pesq=compute_pesq, verbose=verbose,
+                flag_rescore=flag_rescore,
             )
     return w_noisy, params_snmf, results
