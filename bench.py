@@ -26,10 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from drnmf_tpu.dsp import sqrt_hann_periodic
-    from drnmf_tpu.dsp.stft import stft_frames, istft_frames, pad_signal
+    from drnmf_tpu.dsp.stft import pad_signal
+    from drnmf_tpu.enhance import make_enhancer
     from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
-    from drnmf_tpu.models.drnmf import drnmf_forward
 
     fs = 16000
     n_fft, hop = 512, 128
@@ -49,16 +48,7 @@ def main():
     w_dict /= np.sqrt(np.sum(w_dict**2, axis=0))
     params = init_drnmf_params(config, w_dict)
 
-    window = jnp.asarray(sqrt_hann_periodic(n_fft))
-
-    def enhance(params, wav):  # wav: (B, nsampl)
-        spec = stft_frames(wav, window, n_fft, hop)  # (B, T, F) complex
-        mag = jnp.abs(spec)
-        irm = drnmf_forward(params, config, mag)
-        out = istft_frames(spec * irm.astype(jnp.complex64), window, n_fft, hop)
-        return out
-
-    enhance_jit = jax.jit(enhance)
+    enhance_jit = make_enhancer(config, n_fft, hop)
 
     # generate the test signal ON DEVICE: host->device transfers ride a slow
     # tunnel under axon and would dominate setup (not measurement) time

@@ -178,3 +178,32 @@ def test_unfolded_snmf_with_dropout(setup):
     h = [f for f in os.listdir(os.path.join(folder_exp, "history"))
          if not f.endswith("_pretrain")]
     assert h  # trained and recorded history
+
+
+def test_enhance_signals_api(rng):
+    """Fused batch enhance == per-utterance STFT->mask->iSTFT composition."""
+    import jax.numpy as jnp
+    from drnmf_tpu.dsp import stft, istft
+    from drnmf_tpu.enhance import enhance_signals
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import drnmf_forward
+
+    n_fft, hop = 256, 64
+    f = n_fft // 2 + 1
+    w = rng.uniform(0.05, 1.0, (f, 16)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=8, output_dim=f, K_layers=2,
+                         alph=10.0, lam1=0.5)
+    params = init_drnmf_params(config, w)
+    sigs = [
+        (rng.standard_normal(rng.integers(2000, 4000)) * 0.2).astype(np.float32)
+        for _ in range(3)
+    ]
+    outs = enhance_signals(params, config, sigs, n_fft, hop, batch_size=2)
+    assert [len(o) for o in outs] == [len(s) for s in sigs]
+    for s, o in zip(sigs, outs):
+        spec = stft(jnp.asarray(s), n_fft, hop)
+        irm = drnmf_forward(params, config, jnp.abs(spec)[None])[0]
+        ref = np.asarray(istft(spec * irm.astype(spec.dtype), n_fft, hop,
+                               nsampl=len(s)))
+        np.testing.assert_allclose(o, ref, rtol=1e-4, atol=1e-5)
