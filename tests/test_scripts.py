@@ -105,3 +105,15 @@ def test_run_waspaa2017_smoke_generate(tmp_path):
     assert r.returncode == 0, r.stderr
     cfgs = os.listdir(tmp_path / "data_setup_downsample10" / "configs")
     assert len(cfgs) == 3  # one per model family
+
+
+def test_enhance_wav_missing_model(tmp_path):
+    import yaml
+    cfg = tmp_path / "params_unfolded_snmf_x.yaml"
+    yaml.safe_dump({"r": 4, "K_layers": 2, "alph": 10.0, "lam1": 0.5},
+                   open(cfg, "w"))
+    r = run([os.path.join(SCRIPTS, "enhance_wav.py"), "-c", str(cfg),
+             "-m", str(tmp_path / "none.npz"), "in.wav",
+             "-o", str(tmp_path / "out.wav")], str(tmp_path))
+    assert r.returncode == 2
+    assert "checkpoint not found" in r.stderr
