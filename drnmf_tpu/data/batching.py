@@ -18,7 +18,12 @@ import numpy as np
 
 
 def get_mask_value(transform_x: str, transform_y: str) -> float:
-    if transform_x == "mag" or transform_y == "logmag":
+    """-1 for nonnegative feature transforms (a value real features cannot
+    take), 0 otherwise.  Fixes rather than copies the reference quirk where
+    transform_x's branch inspected config['transform_y'] for 'logmag'
+    (audio_dataset.py:24); identical for every configuration the reference
+    ships (mag/mag)."""
+    if transform_x in ("mag", "logmag") or transform_y in ("mag", "logmag"):
         return -1.0
     return 0.0
 

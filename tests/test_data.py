@@ -188,3 +188,12 @@ def test_multichannel_stack_layout(tmp_path, rng):
                                s0[f_bins:, :nfr], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(stack2[half + f_bins :, :nfr],
                                s1[f_bins:, :nfr], rtol=1e-4, atol=1e-5)
+
+
+def test_mask_value_semantics():
+    from drnmf_tpu.data.batching import get_mask_value
+
+    assert get_mask_value("mag", "mag") == -1.0
+    assert get_mask_value("logmag", "logmag") == -1.0
+    assert get_mask_value("logmag", "mag") == -1.0  # reference quirk fixed
+    assert get_mask_value("identity", "identity") == 0.0
