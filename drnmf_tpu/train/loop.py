@@ -93,8 +93,11 @@ def make_optimizer(train_config: TrainConfig, trainable_mask: Optional[dict] = N
 
 
 def _shard_batch(batch, mesh):
+    """Async host->device transfer (device_put dispatches without blocking,
+    so issuing batch i+1's transfer before batch i's step completes
+    double-buffers input against compute)."""
     if mesh is None:
-        return batch
+        return tuple(jax.device_put(b) for b in batch)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P("dp"))
@@ -212,9 +215,18 @@ def train_model(
         t0 = time.time()
         order = rng.permutation(n)
         epoch_loss, n_batches = 0.0, 0
-        for start in range(0, n, train_config.batch_size):
+        starts = list(range(0, n, train_config.batch_size))
+        # prefetch: issue batch i+1's host->device transfer before running
+        # step i (device_put is async, so the copy overlaps the step)
+        def fetch(start):
             idx = order[start : start + train_config.batch_size]
-            batch = _shard_batch((x[idx], y[idx], mask[idx]), mesh)
+            return _shard_batch((x[idx], y[idx], mask[idx]), mesh)
+
+        next_batch = fetch(starts[0]) if starts else None
+        for bi, start in enumerate(starts):
+            batch = next_batch
+            if bi + 1 < len(starts):
+                next_batch = fetch(starts[bi + 1])
             if loss_takes_rng:
                 key = jax.random.fold_in(base_key, global_step)
                 params, opt_state, loss = step_fn(params, opt_state, *batch, key)
