@@ -108,9 +108,12 @@ def make_train_step(loss_fn: Callable, optimizer, with_rng: bool = False):
     """loss_fn(params, x, y, mask[, rng]) -> scalar.  Returns jit'd step.
 
     ``with_rng=True`` threads a per-batch PRNG key into the loss (variational
-    dropout in the DR-NMF cell, custom_layers.py:377-395 semantics)."""
+    dropout in the DR-NMF cell, custom_layers.py:377-395 semantics).
 
-    @jax.jit
+    Params and optimizer state are donated: XLA updates them in place
+    instead of allocating fresh buffers every step."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y, mask, rng=None):
         if with_rng:
             loss, grads = jax.value_and_grad(loss_fn)(params, x, y, mask, rng)
@@ -177,6 +180,9 @@ def train_model(
     equivalent -- a killed run restarted from epoch 0 (best weights were
     kept but optimizer state and schedule were lost).
     """
+    # the train step donates its params/opt_state buffers; work on copies so
+    # the caller's arrays stay valid
+    params = {k: jnp.array(v, copy=True) for k, v in params.items()}
     optimizer = make_optimizer(train_config, trainable_mask)
     opt_state = optimizer.init(params)
     step_fn = make_train_step(loss_fn, optimizer, with_rng=loss_takes_rng)
