@@ -18,8 +18,9 @@ import numpy as np
 
 
 def get_mask_value(transform_x: str, transform_y: str) -> float:
-    """-1 for nonnegative feature transforms (a value real features cannot
-    take), 0 otherwise.  Fixes rather than copies the reference quirk where
+    """-1 for the nonnegative feature transforms ('mag' >= 0 and
+    'logmag' = log(1 + mag) >= 0, so -1 is unattainable for both), 0
+    otherwise.  Fixes rather than copies the reference quirk where
     transform_x's branch inspected config['transform_y'] for 'logmag'
     (audio_dataset.py:24); identical for every configuration the reference
     ships (mag/mag)."""

@@ -13,7 +13,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .dsp.stft import stft_frames, istft_frames, pad_signal
+from .dsp.stft import stft_frames, istft_frames, pad_signal, padded_length
 from .dsp.windows import sqrt_hann_periodic
 from .models.drnmf import DRNMFConfig, drnmf_forward
 
@@ -53,9 +53,7 @@ def enhance_signals(params, config: DRNMFConfig, signals, n_fft: int = 512,
     out = []
     for start in range(0, len(signals), batch_size):
         chunk = signals[start : start + batch_size]
-        total = max(
-            pad_signal(jnp.zeros(len(s)), n_fft, hop).shape[-1] for s in chunk
-        )
+        total = max(padded_length(len(s), n_fft, hop) for s in chunk)
         batch = jnp.stack([
             pad_signal(jnp.asarray(np.asarray(s, np.float32)), n_fft, hop,
                        total=total)

@@ -261,7 +261,9 @@ def sparse_nmf(v, params: SNMFParams, key=None,
     v = jnp.asarray(v, jnp.float32)
     w0, h0, sparsity, w_mask, h_mask = _prepare(v.shape, params, key)
     beta = params.resolved_beta()
-    if params.use_pallas and beta == 2.0 and bool(np.all(np.asarray(h_mask))):
+    if (params.use_pallas and beta == 2.0
+            and bool(np.all(np.asarray(h_mask)))
+            and np.asarray(params.sparsity).size == 1):
         from .pallas.snmf_mu import sparse_nmf_ed_pallas
 
         w, h, divs, costs, n_iter = sparse_nmf_ed_pallas(

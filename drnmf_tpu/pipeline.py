@@ -167,6 +167,34 @@ def _dict_from_config(params_model, params_data, datasets, folder_exp,
     return w_noisy, params_snmf
 
 
+def drnmf_config_from_params(params_model, input_dim, mask_value=-1.0):
+    """Build a DRNMFConfig from a model-config dict -- the single source of
+    truth for YAML-key -> config mapping (used by the pipeline and the
+    standalone inference tools; missing keys here once caused silently
+    different architectures at inference time)."""
+    return DRNMFConfig(
+        input_dim=input_dim,
+        r=int(params_model["r"]),
+        output_dim=input_dim,
+        K_layers=int(params_model["K_layers"]),
+        alph=float(params_model["alph"]),
+        lam1=float(params_model["lam1"]),
+        mask_value=mask_value,
+        untie_alph=bool(params_model.get("untie_alph", False)),
+        params_untied=tuple(params_model.get("params_untied", [])),
+        params_trainable=tuple(params_model.get("params_trainable", [])),
+        transform_before_irm=params_model.get("transform_before_irm"),
+        activation=params_model.get("activation", "relu"),
+        connect_input_to_layers=bool(
+            params_model.get("connect_input_to_layers", True)),
+        nonnegative=bool(params_model.get("nonnegative", True)),
+        return_all_hidden=bool(params_model.get("return_all_hidden", False)),
+        dropout_W=float(params_model.get("dropout_W", 0.0)),
+        dropout_U=float(params_model.get("dropout_U", 0.0)),
+        matmul_precision=params_model.get("matmul_precision", "default"),
+    )
+
+
 def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
                       flag_recompute=False, flag_score=True,
                       compute_pesq=False, verbose=True,
@@ -184,35 +212,18 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
         flag_recompute, verbose,
     )
 
-    r = int(params_model["r"])
     input_dim = int(params_data["params_stft"]["N"]) // 2 + 1
-    config = DRNMFConfig(
-        input_dim=input_dim,
-        r=r,
-        output_dim=input_dim,
-        K_layers=int(params_model["K_layers"]),
-        alph=float(params_model["alph"]),
-        lam1=float(params_model["lam1"]),
+    config = drnmf_config_from_params(
+        params_model, input_dim,
         mask_value=get_mask_value(
             params_data.get("transform_x", "mag"),
             params_data.get("transform_y", "mag"),
         ),
-        untie_alph=bool(params_model.get("untie_alph", False)),
-        params_untied=tuple(params_model.get("params_untied", [])),
-        params_trainable=tuple(params_model.get("params_trainable", [])),
-        transform_before_irm=params_model.get("transform_before_irm"),
-        activation=params_model.get("activation", "relu"),
-        connect_input_to_layers=bool(
-            params_model.get("connect_input_to_layers", True)),
-        nonnegative=bool(params_model.get("nonnegative", True)),
-        return_all_hidden=bool(params_model.get("return_all_hidden", False)),
-        dropout_W=float(params_model.get("dropout_W", 0.0)),
-        dropout_U=float(params_model.get("dropout_U", 0.0)),
-        matmul_precision=params_model.get("matmul_precision", "default"),
     )
     params = init_drnmf_params(config, w_noisy)
 
-    h = config_hash(params_model)
+    # 'resume' is run control, not model identity -- keep it out of the hash
+    h = config_hash(params_model, exclude=("resume",))
     dump_yaml(params_model,
               os.path.join(folder_exp, "configs", f"params_unfolded_snmf_{h}.yaml"))
     savefile = os.path.join(folder_exp, "models", f"model_unfolded_snmf_{h}.npz")
@@ -230,7 +241,17 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
 
     pretrain = bool(params_model.get("pretrain_with_snmf_cost", False))
     savefile_pretrain = savefile.replace(".npz", "_pretrain.npz")
+    resume = bool(params_model.get("resume", False))
     need_train = flag_recompute or not os.path.exists(savefile)
+    if resume and not need_train:
+        # a best checkpoint exists, but the interrupted run may still have
+        # epochs to go -- the train-state file knows
+        from .train.loop import train_state_incomplete
+
+        need_train = train_state_incomplete(
+            savefile, int(params_model.get("epochs", 100)),
+            int(params_model.get("patience", 50)),
+        )
     need_pretrain = pretrain and (
         flag_recompute or not os.path.exists(savefile_pretrain)
     )
@@ -295,7 +316,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
             savefile=savefile, histfile=histfile,
             eval_loss_fn=loss_fn if use_dropout else None,
             loss_takes_rng=use_dropout,
-            resume=bool(params_model.get("resume", False)),
+            resume=resume,
         )
     else:
         best_params, _ = load_checkpoint(savefile)
@@ -349,7 +370,7 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
     )
     params = init_lstm_params(config)
 
-    h = config_hash(params_model)
+    h = config_hash(params_model, exclude=("resume",))
     dump_yaml(params_model,
               os.path.join(folder_exp, "configs", f"params_lstm_{h}.yaml"))
     savefile = os.path.join(folder_exp, "models", f"model_lstm_{h}.npz")
@@ -359,7 +380,16 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
         irm = lstm_apply(p, config, x)
         return masked_mse_signal_approx(irm, x, y, mask)
 
-    if flag_recompute or not os.path.exists(savefile):
+    resume = bool(params_model.get("resume", False))
+    need_train = flag_recompute or not os.path.exists(savefile)
+    if resume and not need_train:
+        from .train.loop import train_state_incomplete
+
+        need_train = train_state_incomplete(
+            savefile, int(params_model.get("epochs", 100)),
+            int(params_model.get("patience", 50)),
+        )
+    if need_train:
         maxlen = params_data.get("maxlen", 500)
         train_data = load_tensors(
             datasets["train"], params_data, maxlen,
@@ -384,7 +414,7 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
         best_params, _ = train_model(
             params, loss_fn, train_data, valid_data, tc,
             savefile=savefile, histfile=histfile,
-            resume=bool(params_model.get("resume", False)),
+            resume=resume,
         )
     else:
         best_params, _ = load_checkpoint(savefile)

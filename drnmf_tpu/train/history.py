@@ -11,9 +11,14 @@ import pickle
 
 
 class LossHistory:
-    def __init__(self, histfile=None):
+    def __init__(self, histfile=None, resume=False):
         self.histfile = histfile
         self.history = {"on_batch_end": {}, "on_epoch_end": {}}
+        if resume and histfile is not None:
+            import os
+
+            if os.path.exists(histfile):
+                self.history = self.load(histfile)
 
     def _append(self, where, metrics):
         store = self.history[where]

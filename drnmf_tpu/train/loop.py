@@ -35,7 +35,7 @@ from .checkpoint import save_checkpoint
 
 
 def _save_train_state(path, epoch, params, opt_state, best_params, best_val,
-                      wait, global_step):
+                      wait, global_step, finished=False):
     """Full training state for elastic resume (written atomically)."""
     flat_opt, treedef = jax.tree.flatten(opt_state)
     state = {
@@ -46,11 +46,27 @@ def _save_train_state(path, epoch, params, opt_state, best_params, best_val,
         "best_val": float(best_val),
         "wait": int(wait),
         "global_step": int(global_step),
+        "finished": bool(finished),
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(state, f)
     os.replace(tmp, path)
+
+
+def train_state_incomplete(savefile, epochs, patience):
+    """True if an elastic-resume state exists for ``savefile`` and the run
+    it belongs to still has epochs to train (not early-stopped, epoch count
+    not yet reached) -- the pipeline's signal that training must re-enter
+    train_model even though a best checkpoint already exists."""
+    path = savefile + ".train_state"
+    if not os.path.exists(path):
+        return False
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    if state.get("finished") or state["wait"] > patience:
+        return False
+    return state["epoch"] + 1 < epochs
 
 
 def _load_train_state(path, opt_state_template):
@@ -187,7 +203,9 @@ def train_model(
     opt_state = optimizer.init(params)
     step_fn = make_train_step(loss_fn, optimizer, with_rng=loss_takes_rng)
     eval_fn = make_eval_step(eval_loss_fn if eval_loss_fn is not None else loss_fn)
-    history = LossHistory(histfile)
+    state_file = (savefile + ".train_state") if (resume and savefile) else None
+    resuming = bool(state_file and os.path.exists(state_file))
+    history = LossHistory(histfile, resume=resuming)
     base_key = jax.random.PRNGKey(train_config.seed) if loss_takes_rng else None
     global_step = 0
 
@@ -200,8 +218,7 @@ def train_model(
     wait = 0
     start_epoch = 0
 
-    state_file = (savefile + ".train_state") if (resume and savefile) else None
-    if state_file and os.path.exists(state_file):
+    if resuming:
         state, opt_state = _load_train_state(state_file, opt_state)
         params = {k: jnp.asarray(v) for k, v in state["params"].items()}
         best_params = state["best_params"]
@@ -209,6 +226,10 @@ def train_model(
         wait = state["wait"]
         global_step = state["global_step"]
         start_epoch = state["epoch"] + 1
+        if state.get("finished") or wait > train_config.patience:
+            # the interrupted run had already finished (naturally or by
+            # early stop): do not train further
+            start_epoch = train_config.epochs
         # fast-forward the host RNG past the completed epochs so the batch
         # permutations of the remaining epochs match the uninterrupted run
         for _ in range(start_epoch):
@@ -271,6 +292,13 @@ def train_model(
         if wait > train_config.patience:
             if train_config.verbose:
                 print(f"early stopping at epoch {epoch + 1}")
+            if state_file:
+                # 'finished' records EARLY STOP only: a run that merely hit
+                # its configured epoch count can be extended later by
+                # resuming with a larger `epochs`
+                _save_train_state(state_file, epoch, params, opt_state,
+                                  best_params, best_val, wait, global_step,
+                                  finished=True)
             break
 
     if train_config.epochs == 0 and savefile is not None:

@@ -26,7 +26,7 @@ import numpy as np  # noqa: E402
 from drnmf_tpu.dsp import wavwrite  # noqa: E402
 from drnmf_tpu.dsp.wav import wavread_fs  # noqa: E402
 from drnmf_tpu.enhance import enhance_signals  # noqa: E402
-from drnmf_tpu.models import DRNMFConfig  # noqa: E402
+from drnmf_tpu.pipeline import drnmf_config_from_params  # noqa: E402
 from drnmf_tpu.train import load_checkpoint  # noqa: E402
 from drnmf_tpu.utils import load_yaml, StageTimer  # noqa: E402
 
@@ -55,18 +55,9 @@ def main():
 
     cfg = load_yaml(args.config)
     f_bins = args.n_fft // 2 + 1
-    config = DRNMFConfig(
-        input_dim=f_bins,
-        r=int(cfg["r"]),
-        output_dim=f_bins,
-        K_layers=int(cfg["K_layers"]),
-        alph=float(cfg["alph"]),
-        lam1=float(cfg["lam1"]),
-        params_untied=tuple(cfg.get("params_untied", [])),
-        params_trainable=tuple(cfg.get("params_trainable", [])),
-        transform_before_irm=cfg.get("transform_before_irm"),
-        matmul_precision=cfg.get("matmul_precision", "default"),
-    )
+    # single source of truth for YAML -> architecture mapping: a missing key
+    # here would silently run a different architecture than training did
+    config = drnmf_config_from_params(cfg, f_bins)
     try:
         params, _ = load_checkpoint(args.model)
     except FileNotFoundError:

@@ -207,3 +207,44 @@ def test_enhance_signals_api(rng):
         ref = np.asarray(istft(spec * irm.astype(spec.dtype), n_fft, hop,
                                nsampl=len(s)))
         np.testing.assert_allclose(o, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_resume_reenters_training_after_interruption(setup):
+    """With resume: true, a best checkpoint + an incomplete train-state file
+    re-enters training instead of short-circuiting on the checkpoint."""
+    import pickle
+
+    params_data, folder_exp = setup
+    model = dict(MODEL_SMALL)
+    model.update(epochs=3, resume=True, r=9)  # unique hash for this test
+    pipeline.run_unfolded_snmf(model, params_data, folder_exp, verbose=False,
+                               splits=(), flag_score=False)
+    from drnmf_tpu.utils import config_hash
+    h = config_hash(model, exclude=("resume",))
+    savefile = os.path.join(folder_exp, "models", f"model_unfolded_snmf_{h}.npz")
+    state_file = savefile + ".train_state"
+    assert os.path.exists(state_file)
+
+    # simulate a crash after epoch 0: rewind the state file
+    with open(state_file, "rb") as f:
+        state = pickle.load(f)
+    assert not state["finished"]
+    state["epoch"] = 0
+    with open(state_file, "wb") as f:
+        pickle.dump(state, f)
+
+    hist_file = os.path.join(folder_exp, "history", f"history_unfolded_snmf_{h}")
+    with open(hist_file, "rb") as f:
+        before = len(pickle.load(f)["on_epoch_end"]["val_loss"])
+
+    pipeline.run_unfolded_snmf(model, params_data, folder_exp, verbose=False,
+                               splits=(), flag_score=False)
+    with open(hist_file, "rb") as f:
+        after = len(pickle.load(f)["on_epoch_end"]["val_loss"])
+    # epochs 1..2 re-ran and appended to the PRESERVED history
+    assert after == before + 2
+
+    # the resume key does not change the experiment hash
+    assert config_hash(model, exclude=("resume",)) == config_hash(
+        {k: v for k, v in model.items() if k != "resume"}
+    )
