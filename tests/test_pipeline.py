@@ -248,3 +248,32 @@ def test_resume_reenters_training_after_interruption(setup):
     assert config_hash(model, exclude=("resume",)) == config_hash(
         {k: v for k, v in model.items() if k != "resume"}
     )
+
+
+def test_batched_reconstruct_matches_per_utterance(setup, rng):
+    """Bucketed batch reconstruction writes the same wavs as the reference's
+    per-utterance loop."""
+    from drnmf_tpu.data import AudioDataset
+    from drnmf_tpu.dsp.wav import wavread_fs
+
+    params_data, folder_exp = setup
+    ds = AudioDataset(
+        params_data["taskfile_x_valid"], params_data["taskfile_y_valid"],
+        params_stft=params_data["params_stft"],
+    )
+    n = len(ds.x_wavfiles)
+    maxT = int(np.max(ds.fidx[:, 1] - ds.fidx[:, 0]))
+    f_bins = params_data["params_stft"]["N"] // 2 + 1
+    irm = rng.uniform(0.2, 1.0, (n, maxT, f_bins)).astype(np.float32)
+
+    pipeline.reconstruct_split(ds, irm, None, "batched_recon")
+    for j in range(n):
+        ds.reconstruct_audio(
+            "peru_recon", idx=j,
+            irm=irm[j, : int(ds.fidx[j, 1] - ds.fidx[j, 0]), :].T,
+        )
+    for j in range(n):
+        a, _ = wavread_fs(ds.enhanced_path(j, "batched_recon"))
+        b, _ = wavread_fs(ds.enhanced_path(j, "peru_recon"))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-4)
