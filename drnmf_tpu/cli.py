@@ -48,6 +48,10 @@ def main(argv=None):
     parser.add_argument("--pesq", action="store_true",
                         help="also compute PESQ (opt-in, like the reference)")
     parser.add_argument("--splits", default="valid,test")
+    parser.add_argument("--compile-cache",
+                        default=os.path.expanduser("~/.cache/drnmf_tpu/xla"),
+                        help="persistent XLA compilation cache dir")
+    parser.add_argument("--no-compile-cache", action="store_true")
     parser.add_argument("--trace", default=None, metavar="DIR",
                         help="write a jax.profiler trace to DIR "
                         "(TensorBoard/Perfetto-viewable)")
@@ -73,6 +77,19 @@ def main(argv=None):
         verbose=not args.quiet,
         splits=splits,
     )
+
+    # persistent XLA compilation cache: repeated CLI invocations (the grid
+    # scripts, rescoring, resumed runs) skip recompiling identical programs
+    if not args.no_compile_cache:
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+            # 0: under axon the remote compile wait is not counted as compile
+            # time, so a nonzero threshold filters everything out
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:
+            pass
 
     from .utils import trace
 
