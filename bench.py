@@ -16,10 +16,25 @@ with training steps/second.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/drnmf_tpu/xla"),
+        )
+        # 0: under axon the remote compile wait is not counted as compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
 
 def main():
@@ -178,6 +193,7 @@ def bench_snmf():
 
 
 if __name__ == "__main__":
+    _enable_compile_cache()
     main()
     if "--train" in sys.argv:
         bench_train()
