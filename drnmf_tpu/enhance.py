@@ -8,8 +8,6 @@ on TPU.  For online/low-latency use see :mod:`drnmf_tpu.streaming`; for the
 full experiment flow (caches, scoring) see :mod:`drnmf_tpu.pipeline`.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

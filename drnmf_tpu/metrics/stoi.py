@@ -18,8 +18,6 @@ The data-dependent steps (resampling, silent-frame removal) run on host;
 the spectral decomposition and band/segment correlations are jit'd JAX.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

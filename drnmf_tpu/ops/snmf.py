@@ -29,7 +29,7 @@ across a mesh axis; the W-update numerator/denominator statistics are
 ``psum``-reduced over the axis so all shards hold identical dictionaries.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Optional
 

@@ -13,7 +13,7 @@ import pickle
 
 import numpy as np
 
-from .data import AudioDataset, load_split, masked_seqs_to_frames, pad_axis_to_n
+from .data import AudioDataset, load_split, masked_seqs_to_frames
 from .data.batching import get_mask_value
 from .models import (
     DRNMFConfig,

@@ -6,7 +6,6 @@ dataset) and the learning-curve notebook.
 """
 
 import os
-import pickle
 
 import numpy as np
 

@@ -28,8 +28,6 @@ Latency: ``n_fft - hop`` samples of framing lookahead plus one block
 raise it for throughput (larger device batches).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
