@@ -50,8 +50,16 @@ def shard_batch(arrays, mesh, axis_name="dp"):
 
 
 def replicate_params(params, mesh):
+    """Replicate a parameter pytree across the mesh.
+
+    Copies explicitly: ``device_put`` of an already-committed array can
+    alias the input buffer, and the donating train step would then delete
+    the caller's params along with its own."""
     sharding = NamedSharding(mesh, P())
-    return {k: jax.device_put(v, sharding) for k, v in params.items()}
+    return {
+        k: jax.device_put(jnp.array(v, copy=True), sharding)
+        for k, v in params.items()
+    }
 
 
 def _masked_divergence(v, lam, beta, fmask):
