@@ -173,6 +173,19 @@ class AudioDataset:
         datafile = self.datafile
         if datafile is not None and os.path.isfile(datafile):
             with h5py.File(datafile, "r") as f:
+                if "stft" in f:
+                    # guard against silently loading a cache built with a
+                    # different STFT setup under the same datafile name
+                    for key in ("N", "hop", "nch"):
+                        cached = int(f["stft"].attrs.get(key, -1))
+                        want = int(self.params_stft[key])
+                        if cached != want:
+                            raise ValueError(
+                                f"datafile {datafile} was built with "
+                                f"{key}={cached}, requested {key}={want}; "
+                                "delete the cache or use a different "
+                                "datafile name"
+                            )
                 self.x_stack = f["x_stack"][:]
                 self.y_stack = f["y_stack"][:]
                 self.fidx = f["fidx"][:]

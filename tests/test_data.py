@@ -197,3 +197,18 @@ def test_mask_value_semantics():
     assert get_mask_value("logmag", "logmag") == -1.0
     assert get_mask_value("logmag", "mag") == -1.0  # reference quirk fixed
     assert get_mask_value("identity", "identity") == 0.0
+
+
+def test_datafile_cache_validates_stft_params(tmp_path, rng):
+    from drnmf_tpu.data import AudioDataset, make_synthetic_corpus
+    import pytest
+
+    tf = make_synthetic_corpus(str(tmp_path / "a"), n_files=2,
+                               min_sec=0.3, max_sec=0.4)
+    datafile = str(tmp_path / "cache.hdf5")
+    AudioDataset(tf["noisy"], tf["clean"], datafile=datafile,
+                 params_stft={"N": 256, "hop": 64, "nch": 1})
+    # same datafile, different STFT setup -> hard error, not silent reuse
+    with pytest.raises(ValueError, match="was built with"):
+        AudioDataset(tf["noisy"], tf["clean"], datafile=datafile,
+                     params_stft={"N": 512, "hop": 128, "nch": 1})

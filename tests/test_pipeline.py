@@ -277,3 +277,17 @@ def test_batched_reconstruct_matches_per_utterance(setup, rng):
         b, _ = wavread_fs(ds.enhanced_path(j, "peru_recon"))
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_logmag_transform_end_to_end(setup):
+    """logmag features flow through training and scoring (the reference had
+    a transform-key quirk here; our mask value is -1 for logmag too)."""
+    params_data, folder_exp = setup
+    pd = dict(params_data)
+    pd.update(transform_x="logmag", transform_y="logmag")
+    model = dict(MODEL_SMALL)
+    model.update(epochs=1, r=7)  # unique hash
+    best, config, _ = pipeline.run_unfolded_snmf(
+        model, pd, folder_exp, verbose=False, splits=(), flag_score=False,
+    )
+    assert config.mask_value == -1.0
