@@ -200,3 +200,14 @@ def test_matmul_dft_matches_fft(rng):
     y_fft = istft_frames(s_fft, w, n_fft, hop, method="fft")
     y_mm = istft_frames(s_fft, w, n_fft, hop, method="matmul")
     assert float(jnp.abs(y_mm - y_fft).max()) < 1e-5
+
+
+def test_stft_istft_single_block_signal(rng):
+    """Signals shorter than one hop still round-trip (one hop-block pad)."""
+    n_fft, hop = 256, 64
+    x = rng.standard_normal(40).astype(np.float32) * 0.3
+    spec = stft(x, n_fft, hop)
+    assert spec.shape[0] == n_frames_for_length(40, n_fft, hop)
+    y = np.asarray(istft(spec, n_fft, hop, nsampl=40))
+    nmse = np.mean((y - x) ** 2) / np.mean(x**2)
+    assert nmse < 1e-6

@@ -225,3 +225,18 @@ def test_ista_matches_reference_numpy(rng):
 
     h_jax = np.asarray(ista_ed(v, w0, h, lam1, alph, 10))
     np.testing.assert_allclose(h_jax, h_np, rtol=1e-4, atol=1e-6)
+
+
+def test_snmf_degenerate_shapes(rng):
+    """r=1 and single-frame inputs run and stay finite."""
+    import numpy as np
+    from drnmf_tpu.ops import SNMFParams
+    from drnmf_tpu.ops.snmf import sparse_nmf
+
+    v1 = rng.uniform(0.1, 1.0, (5, 1)).astype(np.float32)
+    res = sparse_nmf(v1, SNMFParams(r=1, cf="ed", sparsity=0.1, max_iter=5))
+    assert res.w.shape == (5, 1) and res.h.shape == (1, 1)
+    assert np.all(np.isfinite(res.w)) and np.all(np.isfinite(res.cost))
+
+    res_kl = sparse_nmf(v1, SNMFParams(r=2, cf="kl", sparsity=0.0, max_iter=5))
+    assert np.all(np.isfinite(res_kl.cost))

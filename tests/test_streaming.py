@@ -84,3 +84,17 @@ def test_streaming_flush_is_final(rng, small_model):
     assert enh.flush().size == 0
     with pytest.raises(RuntimeError, match="reset"):
         enh.process(x)
+
+
+def test_streaming_short_signal(rng, small_model):
+    """A signal shorter than the pipeline latency still flushes to the
+    offline output."""
+    params, config = small_model
+    n_fft, hop = 64, 16
+    x = (rng.standard_normal(50) * 0.2).astype(np.float32)
+    enh = StreamingEnhancer(params, config, n_fft, hop, block_frames=8)
+    out = np.concatenate([enh.process(x), enh.flush()])
+    offline = offline_enhance(params, config, x, n_fft, hop)
+    assert len(out) >= len(offline)
+    np.testing.assert_allclose(out[: len(offline)], offline,
+                               rtol=1e-4, atol=1e-5)
