@@ -1,5 +1,6 @@
 from .mesh import make_mesh, shard_batch, replicate_params, sparse_nmf_sharded
 from .seqpipe import drnmf_scan_seq_pipelined
+from .tensor_parallel import drnmf_scan_tp
 
 __all__ = [
     "make_mesh",
@@ -7,4 +8,5 @@ __all__ = [
     "replicate_params",
     "sparse_nmf_sharded",
     "drnmf_scan_seq_pipelined",
+    "drnmf_scan_tp",
 ]

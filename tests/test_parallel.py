@@ -142,3 +142,46 @@ def test_seq_pipelined_scan_group_count(rng):
         drnmf_scan_seq_pipelined(params, config, x, mask, mesh, n_groups=4)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_tensor_parallel_scan_matches_single_device(rng):
+    """Megatron-style hidden-dim sharding == single-device scan exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import _scan_hidden, step_mask_from_input
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel.tensor_parallel import drnmf_scan_tp
+
+    f, r, K = 9, 8, 3  # hidden 16 over 8-way tp
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                         params_untied=("log_D", "log_alph"))
+    params = init_drnmf_params(config, w)
+    x = rng.uniform(0, 1, (3, 11, f)).astype(np.float32)
+    x[1, 7:, :] = config.mask_value
+    xj = jnp.asarray(x)
+    sm = step_mask_from_input(xj, config.mask_value)
+
+    ref = np.asarray(_scan_hidden(params, config, xj, sm))
+    mesh = make_mesh(8, axis_name="tp")
+    out = np.asarray(drnmf_scan_tp(params, config, xj, sm, mesh))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_tensor_parallel_rejects_indivisible(rng):
+    import numpy as np
+    import pytest
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel.tensor_parallel import drnmf_scan_tp
+
+    config = DRNMFConfig(input_dim=5, r=3, output_dim=5, K_layers=1)
+    w = np.abs(np.random.default_rng(0).standard_normal((5, 6))).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = init_drnmf_params(config, w)
+    mesh = make_mesh(8, axis_name="tp")
+    with pytest.raises(ValueError, match="not divisible"):
+        drnmf_scan_tp(params, config, np.zeros((1, 2, 5), np.float32),
+                      np.ones((1, 2), bool), mesh)
