@@ -68,13 +68,18 @@ def _snrseg_padded(est, ref, n_valid, frame_len):
 
 
 def snrseg(est, ref, fs: int = 16000, tf: float = 0.01):
-    """Returns (local, global) segmental SNR in dB."""
+    """Returns (local, global) segmental SNR in dB.
+
+    Signals are zero-padded to power-of-two length buckets so a corpus of
+    arbitrary utterance lengths compiles O(log n) programs instead of one
+    per distinct length (the kernel masks frames past ``n_valid``)."""
     est = np.asarray(est, np.float32).ravel()
     ref = np.asarray(ref, np.float32).ravel()
     n = min(len(est), len(ref))
     frame_len = int(round(tf * fs))
-    pad = (-n) % frame_len
-    est_p = jnp.asarray(np.pad(est[:n], (0, pad)))
-    ref_p = jnp.asarray(np.pad(ref[:n], (0, pad)))
+    target = 1 << max(int(n - 1).bit_length(), 1)
+    target += (-target) % frame_len
+    est_p = jnp.asarray(np.pad(est[:n], (0, target - n)))
+    ref_p = jnp.asarray(np.pad(ref[:n], (0, target - n)))
     local, glo = _snrseg_padded(est_p, ref_p, jnp.int32(n), frame_len)
     return float(local), float(glo)

@@ -94,8 +94,9 @@ def _band_envelopes(sig):
 
 
 @jax.jit
-def _stoi_from_envelopes(xb, yb):
-    """xb, yb: (N_BANDS, M) band envelopes.  Mean segment correlation."""
+def _stoi_from_envelopes(xb, yb, m_valid):
+    """xb, yb: (N_BANDS, M) zero-padded band envelopes; ``m_valid`` true
+    frames.  Mean segment correlation over valid segments."""
     n_seg = xb.shape[1] - SEG_FRAMES + 1
 
     def seg_d(m):
@@ -115,7 +116,9 @@ def _stoi_from_envelopes(xb, yb):
         return num / jnp.maximum(den, 1e-30)
 
     ds = jax.vmap(seg_d)(jnp.arange(n_seg))  # (n_seg, N_BANDS)
-    return jnp.mean(ds)
+    valid = (jnp.arange(n_seg) < (m_valid - SEG_FRAMES + 1)).astype(jnp.float32)
+    seg_means = jnp.mean(ds, axis=1)
+    return jnp.sum(seg_means * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
 def stoi(ref, est, fs: int = 16000) -> float:
@@ -133,8 +136,14 @@ def stoi(ref, est, fs: int = 16000) -> float:
     w = np.hanning(FRAME + 2)[1:-1].astype(np.float32)
     xf = _frames(ref) * w
     yf = _frames(est) * w
-    if xf.shape[0] < SEG_FRAMES:
+    m = xf.shape[0]
+    if m < SEG_FRAMES:
         return float("nan")
+    # frame-count power-of-two buckets: O(log n) compiled programs per
+    # corpus instead of one per distinct utterance length
+    m_pad = 1 << max(int(m - 1).bit_length(), 5)
+    xf = np.pad(xf, ((0, m_pad - m), (0, 0)))
+    yf = np.pad(yf, ((0, m_pad - m), (0, 0)))
     xb = _band_envelopes(jnp.asarray(xf))
     yb = _band_envelopes(jnp.asarray(yf))
-    return float(_stoi_from_envelopes(xb, yb))
+    return float(_stoi_from_envelopes(xb, yb, jnp.int32(m)))

@@ -166,3 +166,23 @@ def test_score_taskfiles_native_matches_scipy_path(tmp_path, rng):
                     return_value=False):
         S_scipy, _ = scoring.score_taskfiles(enh, ref)
     np.testing.assert_allclose(S_native, S_scipy, rtol=1e-5, atol=1e-5)
+
+
+def test_metric_kernels_compile_count_bounded(rng):
+    """Scoring a corpus of arbitrary lengths compiles O(log n) programs, not
+    one per distinct length (pow2 bucketing in snrseg/stoi/bss_eval)."""
+    from drnmf_tpu.metrics.snr import _snrseg_padded, snrseg
+    from drnmf_tpu.metrics.stoi import _stoi_from_envelopes, stoi
+    from drnmf_tpu.metrics.bss_eval import _sdr_padded, bss_eval_sdr
+
+    lengths = [6001, 6007, 6103, 6500, 7001, 7333, 7901, 9000, 11111, 12345]
+    for n in lengths:
+        x = (rng.standard_normal(n) * 0.2).astype(np.float32)
+        y = x + (rng.standard_normal(n) * 0.02).astype(np.float32)
+        snrseg(y, x, 16000)
+        stoi(x, y, 16000)
+        bss_eval_sdr(y, x)
+    # 10 distinct lengths spanning ~2x must not mean 10 compiles each
+    assert _snrseg_padded._cache_size() <= 3
+    assert _stoi_from_envelopes._cache_size() <= 4
+    assert _sdr_padded._cache_size() <= 3
