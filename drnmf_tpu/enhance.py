@@ -49,9 +49,11 @@ def enhance_signals(params, config: DRNMFConfig, signals, n_fft: int = 512,
 
     enhance = make_enhancer(config, n_fft, hop)
     out = []
+    bucket = 32768  # ~2 s at 16 kHz; bounds compiled-program count
     for start in range(0, len(signals), batch_size):
         chunk = signals[start : start + batch_size]
         total = max(padded_length(len(s), n_fft, hop) for s in chunk)
+        total = -(-total // bucket) * bucket  # zero tail enhances to zeros
         batch = jnp.stack([
             pad_signal(jnp.asarray(np.asarray(s, np.float32)), n_fft, hop,
                        total=total)
