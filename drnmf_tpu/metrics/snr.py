@@ -67,6 +67,18 @@ def _snrseg_padded(est, ref, n_valid, frame_len):
     return local, glo
 
 
+def snrseg_batch(est_p, ref_p, lengths, fs: int = 16000, tf: float = 0.01):
+    """Vmapped segmental SNR over a padded batch.
+
+    est_p/ref_p: (B, total) zero-padded with total a frame_len multiple;
+    lengths: (B,) true lengths.  Returns (local (B,), global (B,))."""
+    frame_len = int(round(tf * fs))
+    fn = jax.vmap(partial(_snrseg_padded, frame_len=frame_len))
+    local, glo = fn(jnp.asarray(est_p), jnp.asarray(ref_p),
+                    jnp.asarray(lengths, jnp.int32))
+    return np.asarray(local), np.asarray(glo)
+
+
 def snrseg(est, ref, fs: int = 16000, tf: float = 0.01):
     """Returns (local, global) segmental SNR in dB.
 

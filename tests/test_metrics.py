@@ -186,3 +186,33 @@ def test_metric_kernels_compile_count_bounded(rng):
     assert _snrseg_padded._cache_size() <= 3
     assert _stoi_from_envelopes._cache_size() <= 4
     assert _sdr_padded._cache_size() <= 3
+
+
+def test_bss_eval_sdr_many_matches_per_file(rng):
+    ests, refs = [], []
+    for n in (5000, 7000, 7100, 13000):
+        x = (rng.standard_normal(n) * 0.2).astype(np.float32)
+        refs.append(x)
+        ests.append(x + (rng.standard_normal(n) * 0.05).astype(np.float32))
+    from drnmf_tpu.metrics.bss_eval import bss_eval_sdr_many
+
+    many = bss_eval_sdr_many(ests, refs)
+    single = [bss_eval_sdr(e, r) for e, r in zip(ests, refs)]
+    np.testing.assert_allclose(many, single, rtol=1e-5, atol=1e-4)
+
+
+def test_snrseg_batch_matches_per_file(rng):
+    from drnmf_tpu.metrics.snr import snrseg_batch
+
+    lens = [5000, 7000, 8000]
+    target = 16000
+    e = np.zeros((3, target), np.float32)
+    r = np.zeros((3, target), np.float32)
+    for i, n in enumerate(lens):
+        r[i, :n] = (rng.standard_normal(n) * 0.2).astype(np.float32)
+        e[i, :n] = r[i, :n] + (rng.standard_normal(n) * 0.05).astype(np.float32)
+    loc_b, glo_b = snrseg_batch(e, r, lens)
+    for i, n in enumerate(lens):
+        loc, glo = snrseg(e[i, :n], r[i, :n])
+        assert abs(loc_b[i] - loc) < 1e-4
+        assert abs(glo_b[i] - glo) < 1e-4
