@@ -61,6 +61,7 @@ def build_datasets(params_data, splits=("train", "valid", "test")):
             datafile=params_data.get(f"datafile_{split}"),
             params_stft=params_data["params_stft"],
             downsample=params_data.get("downsample", 1) if split == "train" else 1,
+            flag_unwrap_phase=bool(params_data.get("flag_unwrap_phase", False)),
         )
         out[split] = ds
     return out
