@@ -24,17 +24,9 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    try:
-        import jax
+    from drnmf_tpu.utils import enable_compile_cache
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/drnmf_tpu/xla"),
-        )
-        # 0: under axon the remote compile wait is not counted as compile time
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 def main():

@@ -81,15 +81,9 @@ def main(argv=None):
     # persistent XLA compilation cache: repeated CLI invocations (the grid
     # scripts, rescoring, resumed runs) skip recompiling identical programs
     if not args.no_compile_cache:
-        try:
-            import jax
+        from .utils import enable_compile_cache
 
-            jax.config.update("jax_compilation_cache_dir", args.compile_cache)
-            # 0: under axon the remote compile wait is not counted as compile
-            # time, so a nonzero threshold filters everything out
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        except Exception:
-            pass
+        enable_compile_cache(args.compile_cache)
 
     from .utils import trace
 

@@ -29,17 +29,9 @@ from ..dsp import wavread, wavwrite, sqrt_hann_periodic
 from ..dsp.stft import (
     stft_frames,
     pad_signal,
-    padded_length,
+    bucket_total as _bucket_total,
     n_frames_for_length,
 )
-
-_BUCKET = 32768  # samples; ~2 s at 16 kHz -> few distinct compiled programs
-
-
-def _bucket_total(nsampl: int, n_fft: int, hop: int) -> int:
-    """Bucketed padded length (multiple of _BUCKET covering the exact pad)."""
-    need = padded_length(nsampl, n_fft, hop)
-    return -(-need // _BUCKET) * _BUCKET
 
 
 def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False):
@@ -175,10 +167,16 @@ class AudioDataset:
             with h5py.File(datafile, "r") as f:
                 if "stft" in f:
                     # guard against silently loading a cache built with a
-                    # different STFT setup under the same datafile name
-                    for key in ("N", "hop", "nch"):
-                        cached = int(f["stft"].attrs.get(key, -1))
-                        want = int(self.params_stft[key])
+                    # different featurization setup under the same name
+                    want_by_key = {
+                        "N": int(self.params_stft["N"]),
+                        "hop": int(self.params_stft["hop"]),
+                        "nch": int(self.params_stft.get("nch", 1)),
+                        "unwrap": int(bool(self.flag_unwrap_phase)),
+                    }
+                    for key, want in want_by_key.items():
+                        default = 0 if key == "unwrap" else -1
+                        cached = int(f["stft"].attrs.get(key, default))
                         if cached != want:
                             raise ValueError(
                                 f"datafile {datafile} was built with "
@@ -225,8 +223,10 @@ class AudioDataset:
                 f.create_dataset("x_wavfiles", data=np.array(x_wavfiles, dtype="S"))
                 f.create_dataset("y_wavfiles", data=np.array(y_wavfiles, dtype="S"))
                 grp = f.create_group("stft")
-                for key in ("N", "hop", "nch"):
-                    grp.attrs[key] = self.params_stft[key]
+                grp.attrs["N"] = int(self.params_stft["N"])
+                grp.attrs["hop"] = int(self.params_stft["hop"])
+                grp.attrs["nch"] = int(self.params_stft.get("nch", 1))
+                grp.attrs["unwrap"] = int(bool(self.flag_unwrap_phase))
 
     # -- reconstruction ----------------------------------------------------
 

@@ -79,6 +79,16 @@ def padded_length(nsampl: int, n_fft: int, hop: int) -> int:
     return n_blocks * hop + 2 * n_fft
 
 
+SAMPLE_BUCKET = 32768  # ~2 s at 16 kHz: one compiled program per bucket
+
+
+def bucket_total(nsampl: int, n_fft: int, hop: int,
+                 bucket: int = SAMPLE_BUCKET) -> int:
+    """padded_length rounded up to the sample-bucket grid (bounds the
+    number of compiled programs across a corpus of arbitrary lengths)."""
+    return -(-padded_length(nsampl, n_fft, hop) // bucket) * bucket
+
+
 def n_frames_for_length(nsampl: int, n_fft: int, hop: int) -> int:
     """Number of STFT frames the reference produces for a raw signal length."""
     total = padded_length(nsampl, n_fft, hop)

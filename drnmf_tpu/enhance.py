@@ -11,7 +11,7 @@ full experiment flow (caches, scoring) see :mod:`drnmf_tpu.pipeline`.
 import jax
 import jax.numpy as jnp
 
-from .dsp.stft import stft_frames, istft_frames, pad_signal, padded_length
+from .dsp.stft import stft_frames, istft_frames, pad_signal, bucket_total
 from .dsp.windows import sqrt_hann_periodic
 from .models.drnmf import DRNMFConfig, drnmf_forward
 
@@ -49,11 +49,10 @@ def enhance_signals(params, config: DRNMFConfig, signals, n_fft: int = 512,
 
     enhance = make_enhancer(config, n_fft, hop)
     out = []
-    bucket = 32768  # ~2 s at 16 kHz; bounds compiled-program count
     for start in range(0, len(signals), batch_size):
         chunk = signals[start : start + batch_size]
-        total = max(padded_length(len(s), n_fft, hop) for s in chunk)
-        total = -(-total // bucket) * bucket  # zero tail enhances to zeros
+        # shared sample-bucket grid (zero tail enhances to zeros)
+        total = max(bucket_total(len(s), n_fft, hop) for s in chunk)
         batch = jnp.stack([
             pad_signal(jnp.asarray(np.asarray(s, np.float32)), n_fft, hop,
                        total=total)

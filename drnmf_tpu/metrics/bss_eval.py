@@ -97,10 +97,12 @@ def bss_eval_sdr_batch(ses, ss, lengths, flen: int = FLEN):
 def bss_eval_sdr_many(est_list, ref_list, flen: int = FLEN):
     """SDR for many (est, ref) pairs, batched per power-of-two FFT bucket.
 
-    One vmapped solve per bucket replaces one device dispatch per file --
-    the throughput path for corpus scoring.  Non-finite entries (the rare
-    rank-deficient references) are retried per file with the escalating
-    ridge of :func:`bss_eval_sdr`."""
+    Library utility for vmapped consumers.  (Measured note: routing
+    score_taskfiles through this was SLOWER than its per-file thread pool on
+    CPU -- pow2 padding overwork + serialized stages -- so the scoring
+    engine does not use it.)  Non-finite entries (the rare rank-deficient
+    references) are retried per file with the escalating ridge of
+    :func:`bss_eval_sdr`."""
     n_files = len(est_list)
     out = np.zeros(n_files, np.float64)
     buckets = {}

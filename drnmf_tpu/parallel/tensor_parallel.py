@@ -14,6 +14,11 @@ the 2r axis Megatron-style:
 
 Exact: the math is the single-device recurrence with a different summation
 layout; the parity test asserts equality.
+
+Scale note: this v1 materializes the full effective matrices on the default
+device before sharding them (fine through ~r=4k); dictionaries that do not
+fit one chip additionally need the alt->effective parameter maps computed
+under sharding constraints -- tracked as follow-up work.
 """
 
 from functools import partial
@@ -22,7 +27,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.drnmf import _effective_matrices, _precision
+from ..models.drnmf import _ACTIVATIONS, _effective_matrices, _precision
+
+_COMPILED = {}  # (config, mesh axis sizes, shapes) -> jitted shard_map
 
 
 def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
@@ -44,6 +51,7 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
     else:
         h0 = params["h0"]
     prec = _precision(config)
+    act = _ACTIVATIONS[config.activation]
     K = config.K_layers
 
     u_stack = jnp.stack(U)  # (K, 2r, 2r)
@@ -74,7 +82,7 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
                 if config.connect_input_to_layers:
                     pre = pre + jnp.dot(x_t, w_loc[k], precision=prec,
                                         preferred_element_type=jnp.float32)
-                local_hidden = jax.nn.relu(pre + b_loc[k])  # (B, 2r/P)
+                local_hidden = act(pre + b_loc[k])  # (B, 2r/P)
                 # next layer contracts over the FULL 2r axis
                 hidden = jax.lax.all_gather(
                     local_hidden, axis_name, axis=1, tiled=True
@@ -85,25 +93,35 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
         _, hs = jax.lax.scan(step, h_init, (xT, mT))
         return jnp.swapaxes(hs, 0, 1)
 
-    shard = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(None, None, axis_name),  # U column shards
-            P(None, None, axis_name),  # S
-            P(None, None, axis_name),  # W
-            P(None, axis_name),        # b
-            P(),                       # x replicated
-            P(),                       # mask replicated
-            P(),                       # h0 replicated
-        ),
-        out_specs=P(),
-        # the gathered hidden states are value-replicated but typed varying
-        # (they flow from sharded weights); the parity test pins correctness
-        check_vma=False,
-    )
+    # cache the jitted program: jit keys on the wrapper object, so building
+    # a fresh one per call would recompile every invocation (minutes per
+    # compile through the axon tunnel)
+    cache_key = (config, axis_name, tuple(x.shape),
+                 tuple(d.id for d in mesh.devices.flat))
+    fn = _COMPILED.get(cache_key)
+    if fn is None:
+        shard = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(None, None, axis_name),  # U column shards
+                P(None, None, axis_name),  # S
+                P(None, None, axis_name),  # W
+                P(None, axis_name),        # b
+                P(),                       # x replicated
+                P(),                       # mask replicated
+                P(),                       # h0 replicated
+            ),
+            out_specs=P(),
+            # the gathered hidden states are value-replicated but typed
+            # varying (they flow from sharded weights); the parity test pins
+            # correctness
+            check_vma=False,
+        )
+        fn = jax.jit(shard)
+        _COMPILED[cache_key] = fn
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
-    return jax.jit(shard)(
+    return fn(
         put(u_stack, P(None, None, axis_name)),
         put(s_stack, P(None, None, axis_name)),
         put(w_stack, P(None, None, axis_name)),

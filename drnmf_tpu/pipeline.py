@@ -109,7 +109,7 @@ def reconstruct_split(dataset, irm, mask, description, fs=16000,
     """
     import jax.numpy as jnp
 
-    from .dsp import istft
+    from .dsp import istft, wavwrite
 
     n_fft = int(dataset.params_stft["N"])
     hop = int(dataset.params_stft["hop"])
@@ -136,13 +136,11 @@ def reconstruct_split(dataset, irm, mask, description, fs=16000,
             spec[row, : lens[j]] = masked.T
         wavs = np.asarray(istft(jnp.asarray(spec), n_fft, hop, window))
         for row, j in enumerate(idxs):
-            # reference trim: L frames came from nblocks = L - 1 - N/hop hop
-            # -blocks of signal; output is nblocks*hop samples
-            nsampl = (lens[j] - 1 - n_fft // hop) * hop
+            # per-utterance parity: istft with nsampl=None trims the OLA of
+            # L frames (N + hop*(L-1) samples) by N at each edge
+            nsampl = hop * (lens[j] - 1) - n_fft
             out = dataset.enhanced_path(j, description)
             os.makedirs(os.path.dirname(out), exist_ok=True)
-            from .dsp import wavwrite
-
             wavwrite(out, fs, wavs[row : row + 1, :nsampl])
 
 

@@ -103,3 +103,27 @@ def trace(log_dir=None):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compile_cache(cache_dir=None):
+    """Enable JAX's persistent compilation cache.
+
+    min_compile_time_secs is 0 because under axon the remote compile wait is
+    not counted as compile time, so any nonzero threshold filters everything.
+    Returns True on success."""
+    import os
+
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            cache_dir or os.path.expanduser("~/.cache/drnmf_tpu/xla"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        return True
+    except Exception as e:  # misconfiguration should be visible, not fatal
+        import sys
+
+        print(f"warning: compilation cache disabled ({e})", file=sys.stderr)
+        return False
