@@ -5,31 +5,31 @@ weights are ~50 MB), but a production dictionary can grow past one chip's
 HBM: U and S are (2r, 2r), i.e. 4 GB at r=16k in f32.  This module shards
 the 2r axis Megatron-style:
 
-* every per-layer matrix (U_k, S_k, W_k) and bias is column-sharded over the
-  'tp' mesh axis; each device computes its (B, 2r/P) slice of every layer's
-  pre-activation with purely local matmuls;
-* the layer output must be visible in full to the next matmul's contraction
-  axis, so each layer ends with an ``all_gather`` of the (B, 2r/P) hidden
-  slice over ICI -- K gathers per timestep, each 1/P'th of the hidden state.
+* the LARGE parameters (log_U1, log_Uk -- the only (2r, 2r) tensors) enter
+  the sharded computation row-sharded and never exist in full on any device;
+  their effective forms ``exp(.)^T`` are local transposes of the row shards
+  (a row shard of M is a column shard of M^T);
+* the S_k recurrence matrices ((2r, 2r), derived) are materialized ONLY as
+  column shards, each built locally from the replicated dictionary D-hat
+  (which is (F, 2r) -- small, 33 MB even at r=16k):
+  ``S[:, blk] = (I[blk, :] - ((Dhat/alph)[:, blk])^T Dhat)^T``;
+* each device computes its (B, 2r/P) slice of every layer's pre-activation
+  with local matmuls; the layer output must be visible in full to the next
+  contraction, so each layer ends with an ``all_gather`` of the (B, 2r/P)
+  hidden slice over ICI -- K gathers per timestep, each 1/P'th of the state.
 
 Exact: the math is the single-device recurrence with a different summation
 layout; the parity test asserts equality.
-
-Scale note: this v1 materializes the full effective matrices on the default
-device before sharding them (fine through ~r=4k); dictionaries that do not
-fit one chip additionally need the alt->effective parameter maps computed
-under sharding constraints -- tracked as follow-up work.
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.drnmf import _ACTIVATIONS, _effective_matrices, _precision
+from ..models.drnmf import _ACTIVATIONS, _precision
 
-_COMPILED = {}  # (config, mesh axis sizes, shapes) -> jitted shard_map
+_COMPILED = {}  # (config, axis, shapes, device ids) -> jitted shard_map
 
 
 def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
@@ -45,24 +45,65 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
     if config.return_all_hidden or config.dropout_W or config.dropout_U:
         raise NotImplementedError("tp scan supports the inference cell only")
 
-    U, S, W, b = _effective_matrices(params, config)
+    K = config.K_layers
+    blk = h_dim // n_tp
+    prec = _precision(config)
+    act = _ACTIVATIONS[config.activation]
+
+    # small per-layer pieces, replicated: Dhat (F, 2r), alph, lam1
+    d_names = config.untied_names("log_D")
+    a_names = config.untied_names("log_alph")
+    l_names = config.untied_names("log_lam1")
+
+    def dhat(k):
+        d = jnp.exp(params[d_names[k]])
+        return d / jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+
+    dh_stack = jnp.stack([dhat(k) for k in range(K)])  # (K, F, 2r)
+    alph_stack = jnp.stack([
+        jnp.broadcast_to(jnp.exp(params[a_names[k]]), (h_dim,))
+        for k in range(K)
+    ])  # (K, 2r)
+    b_stack = jnp.stack([
+        -jnp.ones((h_dim,), jnp.float32)
+        * jnp.exp(params[l_names[k]]) / jnp.exp(params[a_names[k]])
+        for k in range(K)
+    ])  # (K, 2r)
     if config.nonnegative:
         h0 = jax.nn.softplus(params["log_h0"])
     else:
         h0 = params["h0"]
-    prec = _precision(config)
-    act = _ACTIVATIONS[config.activation]
-    K = config.K_layers
 
-    u_stack = jnp.stack(U)  # (K, 2r, 2r)
-    s_stack = jnp.stack(S) if S else jnp.zeros((1, h_dim, h_dim), jnp.float32)
-    w_stack = jnp.stack(W)  # (K, F, 2r)
-    b_stack = jnp.stack(b)  # (K, 2r)
-
-    def local(u_loc, s_loc, w_loc, b_loc, x_loc, m_loc, h0_loc):
-        # *_loc are column shards: u (K, 2r, 2r/P), s, w (K, F, 2r/P),
-        # b (K, 2r/P); x_loc/m_loc replicated
+    def local(log_u1_loc, log_uk_loc, dh, alph, b_full, x_loc, m_loc, h0_loc):
+        # log_u1_loc/log_uk_loc: (2r/P, 2r) ROW shards of the only big
+        # tensors; everything else replicated
+        p = jax.lax.axis_index(axis_name)
+        start = p * blk
         bsz = x_loc.shape[0]
+
+        # effective column shards, built locally (never full anywhere):
+        u1_loc = jnp.exp(log_u1_loc).T       # (2r, 2r/P)
+        uk_loc = jnp.exp(log_uk_loc).T
+        rows = start + jnp.arange(blk)
+        eye_rows = (
+            rows[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (blk, h_dim), 1)
+        ).astype(jnp.float32)  # I[blk, :]
+        s_locs, w_locs, b_locs = [], [], []
+        for k in range(K):
+            da = dh[k] / alph[k][None, :]  # (F, 2r), replicated
+            da_blk = jax.lax.dynamic_slice_in_dim(da, start, blk, axis=1)
+            if k > 0:
+                m_rows = eye_rows - jnp.dot(
+                    da_blk.T, dh[k], precision=prec,
+                    preferred_element_type=jnp.float32,
+                )  # M[blk, :] with M = I - (Dhat/alph)^T Dhat
+                s_locs.append(m_rows.T)  # S[:, blk]
+            w_locs.append(da_blk)  # W_k[:, blk] = (Dhat/alph)[:, blk]
+            b_locs.append(
+                jax.lax.dynamic_slice_in_dim(b_full[k], start, blk, axis=0)
+            )
+
         xT = jnp.swapaxes(x_loc, 0, 1)
         mT = jnp.swapaxes(m_loc, 0, 1)
         h_init = jax.lax.pcast(
@@ -74,15 +115,16 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
             x_t, m_t = inp
             hidden = None
             for k in range(K):
-                pre = jnp.dot(h_prev, u_loc[k], precision=prec,
+                u = u1_loc if k == 0 else uk_loc
+                pre = jnp.dot(h_prev, u, precision=prec,
                               preferred_element_type=jnp.float32)
                 if k > 0:
-                    pre = pre + jnp.dot(hidden, s_loc[k - 1], precision=prec,
+                    pre = pre + jnp.dot(hidden, s_locs[k - 1], precision=prec,
                                         preferred_element_type=jnp.float32)
                 if config.connect_input_to_layers:
-                    pre = pre + jnp.dot(x_t, w_loc[k], precision=prec,
+                    pre = pre + jnp.dot(x_t, w_locs[k], precision=prec,
                                         preferred_element_type=jnp.float32)
-                local_hidden = act(pre + b_loc[k])  # (B, 2r/P)
+                local_hidden = act(pre + b_locs[k])  # (B, 2r/P)
                 # next layer contracts over the FULL 2r axis
                 hidden = jax.lax.all_gather(
                     local_hidden, axis_name, axis=1, tiled=True
@@ -104,13 +146,10 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
             local,
             mesh=mesh,
             in_specs=(
-                P(None, None, axis_name),  # U column shards
-                P(None, None, axis_name),  # S
-                P(None, None, axis_name),  # W
-                P(None, axis_name),        # b
-                P(),                       # x replicated
-                P(),                       # mask replicated
-                P(),                       # h0 replicated
+                P(axis_name, None),  # log_U1 row shards
+                P(axis_name, None),  # log_Uk row shards
+                P(), P(), P(),       # Dhat stack, alph stack, b stack (small)
+                P(), P(), P(),       # x, mask, h0 replicated
             ),
             out_specs=P(),
             # the gathered hidden states are value-replicated but typed
@@ -122,9 +161,8 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
         _COMPILED[cache_key] = fn
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     return fn(
-        put(u_stack, P(None, None, axis_name)),
-        put(s_stack, P(None, None, axis_name)),
-        put(w_stack, P(None, None, axis_name)),
-        put(b_stack, P(None, axis_name)),
+        put(params["log_U1"], P(axis_name, None)),
+        put(params["log_Uk"], P(axis_name, None)),
+        put(dh_stack, P()), put(alph_stack, P()), put(b_stack, P()),
         put(x, P()), put(step_mask, P()), put(h0, P()),
     )
