@@ -20,6 +20,11 @@ the 2r axis Megatron-style:
 
 Exact: the math is the single-device recurrence with a different summation
 layout; the parity test asserts equality.
+
+Inference-only: the all_gather/varying-type structure is not reverse-mode
+differentiable under jax's VMA typing (grad attempts raise at the psum
+transpose).  A TP *training* path needs the row-sharded/psum formulation
+whose transpose is the all_gather -- future work.
 """
 
 import jax
