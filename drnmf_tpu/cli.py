@@ -6,10 +6,13 @@ Reference-compatible invocation (enhance.py:459-475):
 
 with the model type dispatched by config-filename substring exactly like the
 reference ('unfolded_snmf' before 'snmf' before 'lstm', enhance.py:529-538).
-Extra verbs:
+Common variants:
 
-    python -m drnmf_tpu.cli score -c ... -d ...      # rescore only
-    python -m drnmf_tpu.cli --no-score -c ... -d ... # train only
+    ... --no-score            # train only
+    ... --rescore             # recompute cached scores (training cache hits)
+    ... --recompute           # redo everything
+    ... --pesq                # also compute PESQ (opt-in, like the reference)
+    ... --trace DIR           # write a jax.profiler trace
 """
 
 import argparse
