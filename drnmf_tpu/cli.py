@@ -11,7 +11,7 @@ Common variants:
     ... --no-score            # train only
     ... --rescore             # recompute cached scores (training cache hits)
     ... --recompute           # redo everything
-    ... --pesq                # also compute PESQ (opt-in, like the reference)
+    ... --pesq                # also compute PESQ (opt-in; P.862-style model)
     ... --trace DIR           # write a jax.profiler trace
 """
 
@@ -49,7 +49,8 @@ def main(argv=None):
     parser.add_argument("--rescore", action="store_true")
     parser.add_argument("--no-score", action="store_true")
     parser.add_argument("--pesq", action="store_true",
-                        help="also compute PESQ (opt-in, like the reference)")
+                        help="also compute PESQ (opt-in: the model is "
+                        "P.862-style, not a bit-exact ITU port)")
     parser.add_argument("--splits", default="valid,test")
     parser.add_argument("--compile-cache",
                         default=os.path.expanduser("~/.cache/drnmf_tpu/xla"),

@@ -1,8 +1,11 @@
 """PESQ (ITU-T P.862) MOS estimation, 16 kHz wideband-style mode.
 
 Replaces the reference's ``pesq_16kHz`` MATLAB call (score_audio.m:225).
-Note the reference scoring driver calls it with ``compute_pesq=false`` by
-default (score_audio.m:179-181 returns -1) -- PESQ is opt-in there, and here.
+The reference computes PESQ when the (externally downloaded) Loizou toolbox
+is present and fills -1 otherwise (score_audio.m:9-14, 177-179).  Here PESQ
+is opt-in (``--pesq`` / ``compute=True``) because this implementation is a
+calibrated P.862-style model rather than a bit-exact ITU port -- defaulting
+it on would put approximate numbers in default score tables.
 
 This implementation covers the P.862 perceptual model for the
 time-aligned case: level alignment to 79 dB SPL via the standard IRS-ish
