@@ -216,3 +216,28 @@ def test_snrseg_batch_matches_per_file(rng):
         loc, glo = snrseg(e[i, :n], r[i, :n])
         assert abs(loc_b[i] - loc) < 1e-4
         assert abs(glo_b[i] - glo) < 1e-4
+
+
+def test_pesq_snr_anchor_curve(rng):
+    """PESQ model vs published speech+white-noise MOS-vs-SNR anchors
+    (P.862-style calibration; tolerance 0.5 MOS)."""
+    fs = 16000
+    r = np.random.default_rng(3)
+    t = np.arange(fs * 4) / fs
+    f0 = 140 * (1 + 0.1 * np.sin(2 * np.pi * 2.1 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / fs
+    x = sum(a * np.sin(k * phase)
+            for k, a in [(1, 1.0), (2, 0.6), (3, 0.4), (4, 0.25)])
+    env = np.clip(np.sin(2 * np.pi * 1.7 * t), 0, None)
+    x = (x * env * 0.1).astype(np.float32)
+
+    anchors = {0: 1.2, 10: 1.8, 20: 2.6, 30: 3.5}
+    prev = 0.0
+    for snr_db, target in sorted(anchors.items()):
+        noise = r.standard_normal(len(x)).astype(np.float32)
+        noise *= np.sqrt(np.mean(x**2) / np.mean(noise**2) / 10**(snr_db / 10))
+        mos = pesq_16k(x, x + noise)
+        assert abs(mos - target) < 0.5, (snr_db, mos, target)
+        assert mos > prev  # monotone in SNR
+        prev = mos
+    assert pesq_16k(x, x) > 4.3  # clean ~= 4.4-4.5
