@@ -62,6 +62,9 @@ def main(argv=None):
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
+    for path, what in ((args.config, "model config"), (args.data, "data config")):
+        if not os.path.isfile(path):
+            parser.error(f"{what} not found: {path}")
     params_model = load_yaml(args.config)
     params_data = load_yaml(args.data)
     try:
