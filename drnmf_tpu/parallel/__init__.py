@@ -1,6 +1,6 @@
 from .mesh import make_mesh, shard_batch, replicate_params, sparse_nmf_sharded
 from .seqpipe import drnmf_scan_seq_pipelined
-from .tensor_parallel import drnmf_scan_tp
+from .tensor_parallel import drnmf_scan_tp, drnmf_scan_tp_train
 
 __all__ = [
     "make_mesh",
@@ -9,4 +9,5 @@ __all__ = [
     "sparse_nmf_sharded",
     "drnmf_scan_seq_pipelined",
     "drnmf_scan_tp",
+    "drnmf_scan_tp_train",
 ]

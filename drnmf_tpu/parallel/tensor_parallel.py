@@ -21,10 +21,11 @@ the 2r axis Megatron-style:
 Exact: the math is the single-device recurrence with a different summation
 layout; the parity test asserts equality.
 
-Inference-only: the all_gather/varying-type structure is not reverse-mode
-differentiable under jax's VMA typing (grad attempts raise at the psum
-transpose).  A TP *training* path needs the row-sharded/psum formulation
-whose transpose is the all_gather -- future work.
+``drnmf_scan_tp`` (gather formulation) is inference-only: the
+all_gather/varying-type structure is not reverse-mode differentiable under
+jax's VMA typing.  ``drnmf_scan_tp_train`` is the differentiable dual
+(psum decomposition over the contraction axis; its transpose is
+replication) -- gradient parity with the single-device scan is tested.
 """
 
 import jax
@@ -171,3 +172,125 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
         put(dh_stack, P()), put(alph_stack, P()), put(b_stack, P()),
         put(x, P()), put(step_mask, P()), put(h0, P()),
     )
+
+
+def drnmf_scan_tp_train(params, config, x, step_mask, mesh, axis_name="tp"):
+    """Differentiable tensor-parallel recurrence (training formulation).
+
+    The inference path above column-shards weights and all_gathers
+    activations -- not reverse-mode differentiable under jax's VMA typing.
+    This variant uses the dual Megatron decomposition: weights are
+    ROW-sharded along the contraction axis, every device computes a partial
+    (B, 2r) pre-activation from its h_prev slice, and a ``psum`` over ICI
+    completes the contraction.  psum's transpose is replication, so
+    ``jax.grad`` flows through; the gradient parity test pins equality with
+    the single-device scan.
+
+    Comm: K psums of (B, 2r) per timestep (P times the bytes of the
+    inference path's gathers -- the price of differentiability).
+    """
+    n_tp = mesh.shape[axis_name]
+    h_dim = config.hidden_dim
+    if h_dim % n_tp:
+        raise ValueError(f"hidden_dim={h_dim} not divisible by tp={n_tp}")
+    if config.return_all_hidden or config.dropout_W or config.dropout_U:
+        raise NotImplementedError("tp scan supports the plain cell only")
+
+    K = config.K_layers
+    blk = h_dim // n_tp
+    prec = _precision(config)
+    act = _ACTIVATIONS[config.activation]
+
+    def local(params_loc, x_loc, m_loc):
+        # params_loc: alt params with log_U1/log_Uk ROW-sharded (2r/P, 2r);
+        # everything else replicated (small)
+        p = jax.lax.axis_index(axis_name)
+        start = p * blk
+        bsz = x_loc.shape[0]
+
+        d_names = config.untied_names("log_D")
+        a_names = config.untied_names("log_alph")
+        l_names = config.untied_names("log_lam1")
+
+        def dhat(k):
+            d = jnp.exp(params_loc[d_names[k]])
+            return d / jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+
+        # h @ U decomposes over the contraction axis:
+        # h @ U = sum_p h[:, seg_p] @ U[seg_p, :] with
+        # U[seg_p, :] = (exp(log_U)[:, seg_p])^T.  Params stay replicated
+        # (gradient simplicity); only the compute/comm is sharded -- true
+        # weight-sharded training composes this with FSDP-style parameter
+        # sharding.
+        h0 = (jax.nn.softplus(params_loc["log_h0"])
+              if config.nonnegative else params_loc["h0"])
+
+        def seg(mat_exp):
+            # rows seg_p of U = exp(log_U)^T -> exp(log_U[:, seg])^T
+            cols = jax.lax.dynamic_slice_in_dim(mat_exp, start, blk, axis=1)
+            return cols.T  # (blk, 2r)
+
+        u1_seg = seg(jnp.exp(params_loc["log_U1"]))
+        uk_seg = seg(jnp.exp(params_loc["log_Uk"]))
+
+        s_segs, w_parts, b_full = [], [], []
+        for k in range(K):
+            dk = dhat(k)
+            alph = jnp.exp(params_loc[a_names[k]])
+            da = dk / alph  # (F, 2r)
+            if k > 0:
+                # S = (I - (Dhat/alph)^T Dhat)^T; rows seg_p of S =
+                # (I[:, seg] - (Dhat/alph)^T Dhat[:, seg])^T
+                dk_seg = jax.lax.dynamic_slice_in_dim(dk, start, blk, axis=1)
+                eye_seg = (
+                    jax.lax.broadcasted_iota(jnp.int32, (h_dim, blk), 0)
+                    == (start + jnp.arange(blk))[None, :]
+                ).astype(jnp.float32)
+                m_cols = eye_seg - jnp.dot(
+                    da.T, dk_seg, precision=prec,
+                    preferred_element_type=jnp.float32,
+                )  # (2r, blk) = M[:, seg]
+                s_segs.append(m_cols.T)  # rows seg of S
+            w_parts.append(da)  # full W_k (small) -- x term stays local
+            b_full.append(
+                -jnp.ones((h_dim,), jnp.float32)
+                * jnp.exp(params_loc[l_names[k]]) / alph
+            )
+
+        xT = jnp.swapaxes(x_loc, 0, 1)
+        mT = jnp.swapaxes(m_loc, 0, 1)
+        h_init = jnp.broadcast_to(h0[None, :], (bsz, h_dim))
+
+        def step(h_prev, inp):
+            x_t, m_t = inp
+            hidden = None
+            for k in range(K):
+                useg = u1_seg if k == 0 else uk_seg
+                h_seg = jax.lax.dynamic_slice_in_dim(h_prev, start, blk, axis=1)
+                part = jnp.dot(h_seg, useg, precision=prec,
+                               preferred_element_type=jnp.float32)
+                if k > 0:
+                    hid_seg = jax.lax.dynamic_slice_in_dim(
+                        hidden, start, blk, axis=1)
+                    part = part + jnp.dot(hid_seg, s_segs[k - 1],
+                                          precision=prec,
+                                          preferred_element_type=jnp.float32)
+                pre = jax.lax.psum(part, axis_name)
+                if config.connect_input_to_layers:
+                    pre = pre + jnp.dot(x_t, w_parts[k], precision=prec,
+                                        preferred_element_type=jnp.float32)
+                hidden = act(pre + b_full[k])
+            h_new = jnp.where(m_t[:, None], hidden, h_prev)
+            return h_new, h_new
+
+        _, hs = jax.lax.scan(step, h_init, (xT, mT))
+        return jnp.swapaxes(hs, 0, 1)
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),  # params/x/mask replicated; compute sharded
+        out_specs=P(),
+        check_vma=False,
+    )
+    return shard(params, x, step_mask)

@@ -185,3 +185,37 @@ def test_tensor_parallel_rejects_indivisible(rng):
     with pytest.raises(ValueError, match="not divisible"):
         drnmf_scan_tp(params, config, np.zeros((1, 2, 5), np.float32),
                       np.ones((1, 2), bool), mesh)
+
+
+def test_tensor_parallel_train_scan_grad_parity(rng):
+    """Differentiable TP formulation: forward AND gradients == single-device
+    scan (psum decomposition; its transpose is replication)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import _scan_hidden, step_mask_from_input
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel.tensor_parallel import drnmf_scan_tp_train
+
+    f, r, K = 9, 8, 2
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                         params_untied=("log_D", "log_alph"))
+    params = init_drnmf_params(config, w)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 6, f)).astype(np.float32))
+    sm = step_mask_from_input(x, config.mask_value)
+    mesh = make_mesh(8, axis_name="tp")
+
+    ref = np.asarray(_scan_hidden(params, config, x, sm))
+    out = np.asarray(drnmf_scan_tp_train(params, config, x, sm, mesh))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    g_tp = jax.grad(lambda p: jnp.mean(
+        drnmf_scan_tp_train(p, config, x, sm, mesh) ** 2))(params)
+    g_ref = jax.grad(lambda p: jnp.mean(
+        _scan_hidden(p, config, x, sm) ** 2))(params)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_tp[k]), np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6)
