@@ -291,3 +291,32 @@ def test_logmag_transform_end_to_end(setup):
         model, pd, folder_exp, verbose=False, splits=(), flag_score=False,
     )
     assert config.mask_value == -1.0
+
+
+def test_predict_irm_bucketed_matches_full(rng):
+    """Length-bucketed prediction == full-padded prediction (the model holds
+    state on padded steps either way)."""
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params, drnmf_apply
+
+    f, r = 9, 4
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=10.0, lam1=0.5)
+    params = init_drnmf_params(config, w)
+
+    n, t_max = 7, 300
+    x = np.full((n, t_max, f), config.mask_value, np.float32)
+    lens = [40, 120, 120, 260, 300, 10, 180]
+    for i, ln in enumerate(lens):
+        x[i, :ln] = rng.uniform(0, 1, (ln, f)).astype(np.float32)
+
+    apply_fn = lambda p, xb: drnmf_apply(p, config, xb)
+    fast = pipeline.predict_irm(apply_fn, params, x, batch_size=3)
+    full = np.zeros_like(x)
+    for s in range(0, n, 3):
+        full[s : s + 3] = np.asarray(apply_fn(params, x[s : s + 3]))
+    for i, ln in enumerate(lens):
+        np.testing.assert_allclose(fast[i, :ln], full[i, :ln],
+                                   rtol=1e-5, atol=1e-6)
