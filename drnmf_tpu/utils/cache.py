@@ -17,7 +17,8 @@ def snmf_cache_path(params_snmf, path_dicts="", prefix="noisy"):
     cfg = {
         k: v
         for k, v in asdict(params_snmf).items()
-        if k not in ("init_w", "init_h", "w_update_ind", "h_update_ind", "display")
+        if k not in ("init_w", "init_h", "w_update_ind", "h_update_ind",
+                     "display", "use_pallas")  # execution knobs != identity
     }
     h = config_hash(cfg)
     sparsity = float(np.asarray(params_snmf.sparsity).ravel()[0])

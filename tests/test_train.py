@@ -210,3 +210,15 @@ def test_train_resume_exact_continuation(tmp_path, rng):
     for k in full:
         np.testing.assert_allclose(np.asarray(resumed[k]), np.asarray(full[k]),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_snmf_cache_path_ignores_execution_knobs():
+    from drnmf_tpu.ops import SNMFParams
+    from drnmf_tpu.utils.cache import snmf_cache_path
+
+    a = snmf_cache_path(SNMFParams(r=8, cf="ed", sparsity=1.0))
+    b = snmf_cache_path(SNMFParams(r=8, cf="ed", sparsity=1.0,
+                                   use_pallas=True, display=True))
+    assert a == b
+    c = snmf_cache_path(SNMFParams(r=16, cf="ed", sparsity=1.0))
+    assert a != c
