@@ -346,8 +346,14 @@ def sparse_nmf_chunked(
             print(f"sparse NMF: chunk {i + 1} of {n_chunks}")
         key, sub = jax.random.split(key)
         chunk = v[:, i * frame_chunk : (i + 1) * frame_chunk]
-        res = sparse_nmf(chunk, replace(params, init_w=init_w), key=sub,
-                         device_output=not save_h)
+        # Slice an explicit init_h to this chunk's frame range.  (The
+        # reference passed the full-width init_h into every chunk solve and
+        # crashed on >1 chunk -- snmf.py:57 -- fixed here, not copied.)
+        init_h = params.init_h
+        if init_h is not None and not isinstance(init_h, str):
+            init_h = np.asarray(init_h)[:, i * frame_chunk : (i + 1) * frame_chunk]
+        res = sparse_nmf(chunk, replace(params, init_w=init_w, init_h=init_h),
+                         key=sub, device_output=not save_h)
         if not save_h:
             res = SNMFResult(w=np.asarray(res.w), h=None, div=res.div,
                              cost=res.cost, n_iter=res.n_iter)

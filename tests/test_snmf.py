@@ -189,6 +189,25 @@ def test_chunked_warm_start(rng):
     assert res.cost[1] < res.cost[0]
 
 
+def test_chunked_explicit_init_h(rng):
+    """An explicit (r, n) init_h must be sliced per chunk.  (The reference
+    passed the full-width init_h into every chunk solve and crashed on >1
+    chunk -- reference snmf.py:57; we slice instead.)"""
+    v, w0, h0 = _rand_problem(rng, m=12, n=200, r=6)
+    params = SNMFParams(
+        r=6, cf="ed", sparsity=0.3, max_iter=10, init_w=w0, init_h=h0
+    )
+    res = sparse_nmf_chunked(v, params, frame_chunk=64, verbose=False)
+    assert res.w.shape == (12, 6)
+    assert res.h.shape == (6, 200)
+    # 'ones' string init_h passes through untouched
+    params_ones = SNMFParams(
+        r=6, cf="ed", sparsity=0.3, max_iter=10, init_w=w0, init_h="ones"
+    )
+    res2 = sparse_nmf_chunked(v, params_ones, frame_chunk=64, verbose=False)
+    assert res2.h.shape == (6, 200)
+
+
 def test_ista_decreases_cost(rng):
     from drnmf_tpu.ops import ista, beta_div
     import jax.numpy as jnp
