@@ -159,7 +159,22 @@ class AudioDataset:
         self.downsample = downsample
         self.verbose = verbose
         self.flag_unwrap_phase = flag_unwrap_phase
+        self._fs = None
         self._load()
+
+    @property
+    def fs(self):
+        """Corpus sample rate, read once from the first clean wav.  Falls
+        back to 16 kHz (the CHiME2 rate) when no wav is reachable, e.g. a
+        dataset restored purely from an HDF5 cache built elsewhere."""
+        if self._fs is None:
+            try:
+                from ..dsp.wav import wavread_fs
+
+                self._fs = int(wavread_fs(self.y_wavfiles[0])[1])
+            except (OSError, IndexError, ValueError):
+                self._fs = 16000
+        return self._fs
 
     def _load(self):
         datafile = self.datafile
@@ -262,13 +277,15 @@ class AudioDataset:
         return self.y_wavfiles[idx].replace("scaled", f"enhanced_{description}")
 
     def reconstruct_audio(self, description, irm=None, mask=None, idx=None,
-                          test=False, fs=16000):
+                          test=False, fs=None):
         """Write enhanced wavs (or report NMSE in test mode).
 
         Mirrors audio_dataset.py:294-339: ``irm`` may be (n_seq, T, F) with a
         matching binary ``mask``, or a per-utterance (F, n_frames) array when
-        ``idx`` is a single int.
+        ``idx`` is a single int.  ``fs`` defaults to the corpus rate.
         """
+        if fs is None:
+            fs = self.fs
         if idx is None:
             idx = list(range(len(self.x_wavfiles)))
         if isinstance(idx, (list, tuple, np.ndarray)):

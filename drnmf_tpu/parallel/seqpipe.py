@@ -21,13 +21,15 @@ Everything runs inside one ``shard_map``-ed jit program: the wave loop is a
 invalid (bubble) waves are masked with ``jnp.where`` -- no host round trips.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.drnmf import _effective_matrices, make_cell_step
+from ._cache import CompiledCache
+
+# (config, axis, n_groups, shapes, device ids) -> jitted shard_map
+_COMPILED = CompiledCache()
 
 
 def _masked_step_factory(config, U, S, W, b):
@@ -69,14 +71,16 @@ def drnmf_scan_seq_pipelined(params, config, x, step_mask, mesh,
     gsz = bsz // n_groups
     h_dim = config.hidden_dim
 
-    U, S, W, b = _effective_matrices(params, config)
-    if config.nonnegative:
-        h0 = jax.nn.softplus(params["log_h0"])
-    else:
-        h0 = params["h0"]
-    step = _masked_step_factory(config, U, S, W, b)
+    def local(params_loc, x_loc, m_loc):
+        # params enter as (replicated) arguments -- not closure constants --
+        # so the jitted program below is reusable across param values
+        U, S, W, b = _effective_matrices(params_loc, config)
+        if config.nonnegative:
+            h0 = jax.nn.softplus(params_loc["log_h0"])
+        else:
+            h0 = params_loc["h0"]
+        step = _masked_step_factory(config, U, S, W, b)
 
-    def local(x_loc, m_loc):
         # x_loc: (B, T/P, F) -- this device's time chunk, all groups
         p = jax.lax.axis_index(axis_name)
         t_loc = x_loc.shape[1]
@@ -122,12 +126,18 @@ def drnmf_scan_seq_pipelined(params, config, x, step_mask, mesh,
         out, _ = jax.lax.fori_loop(0, n_waves, wave, (out0, carry0))
         return out
 
-    shard = partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(None, axis_name, None), P(None, axis_name)),
-        out_specs=P(None, axis_name, None),
-    )
+    cache_key = (config, axis_name, n_groups, tuple(x.shape),
+                 tuple(d.id for d in mesh.devices.flat))
+    fn = _COMPILED.get(cache_key)
+    if fn is None:
+        shard = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(None, axis_name, None), P(None, axis_name)),
+            out_specs=P(None, axis_name, None),
+        )
+        fn = jax.jit(shard)
+        _COMPILED.put(cache_key, fn)
     x_sh = jax.device_put(x, NamedSharding(mesh, P(None, axis_name, None)))
     m_sh = jax.device_put(step_mask, NamedSharding(mesh, P(None, axis_name)))
-    return jax.jit(shard(local))(x_sh, m_sh)
+    return fn(params, x_sh, m_sh)

@@ -34,8 +34,11 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.drnmf import _ACTIVATIONS, _precision
+from ._cache import CompiledCache
 
-_COMPILED = {}  # (config, axis, shapes, device ids) -> jitted shard_map
+# (config, axis, shapes, device ids) -> jitted shard_map; LRU-bounded so a
+# long-lived server scanning many batch shapes doesn't leak executables
+_COMPILED = CompiledCache()
 
 
 def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
@@ -164,7 +167,7 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
             check_vma=False,
         )
         fn = jax.jit(shard)
-        _COMPILED[cache_key] = fn
+        _COMPILED.put(cache_key, fn)
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     return fn(
         put(params["log_U1"], P(axis_name, None)),

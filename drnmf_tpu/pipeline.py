@@ -38,11 +38,11 @@ from .utils import config_hash, dump_yaml, ensure_experiment_dirs, StageTimer
 from .metrics.scoring import score_dataset, aggregate_snr_scores, SCORE_LABELS
 
 
-def dataset_audio_seconds(dataset, fs=16000):
+def dataset_audio_seconds(dataset, fs=None):
     """Approximate audio duration from frame counts (frames * hop / fs)."""
     hop = int(dataset.params_stft["hop"])
     n_frames = int(np.sum(dataset.fidx[:, 1] - dataset.fidx[:, 0]))
-    return n_frames * hop / fs
+    return n_frames * hop / (dataset.fs if fs is None else fs)
 
 SNRS = ["m6dB", "m3dB", "0dB", "3dB", "6dB", "9dB"]
 
@@ -99,8 +99,14 @@ def predict_irm(apply_fn, params, x, batch_size=250, mask_value=-1.0,
     its own truncated T.  The per-row mask semantics are unchanged -- the
     model holds state on padded steps either way."""
     irm = np.zeros_like(x)
-    lengths = np.any(x != mask_value, axis=-1).sum(axis=1)  # (B,)
+    # per-row true length = index of the last non-padded frame + 1 (padding
+    # is a contiguous tail, but interior frames may coincidentally equal the
+    # mask value -- counting valid frames would undershoot then)
+    valid = np.any(x != mask_value, axis=-1)  # (B, T)
     t_max = x.shape[1]
+    lengths = np.where(
+        valid.any(axis=1), t_max - valid[:, ::-1].argmax(axis=1), 0
+    )
     buckets = {}
     for i, ln in enumerate(lengths):
         t_b = min(t_max, -(-max(int(ln), 1) // bucket_frames) * bucket_frames)
@@ -113,7 +119,7 @@ def predict_irm(apply_fn, params, x, batch_size=250, mask_value=-1.0,
     return irm
 
 
-def reconstruct_split(dataset, irm, mask, description, fs=16000,
+def reconstruct_split(dataset, irm, mask, description, fs=None,
                       bucket_frames=256):
     """Masked iSTFT + wav write for a whole split.
 
@@ -127,6 +133,8 @@ def reconstruct_split(dataset, irm, mask, description, fs=16000,
 
     from .dsp import istft, wavwrite
 
+    if fs is None:
+        fs = dataset.fs
     n_fft = int(dataset.params_stft["N"])
     hop = int(dataset.params_stft["hop"])
     f_bins = n_fft // 2 + 1
@@ -392,7 +400,8 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
                 )
             with timer.stage("predict_irm", audio_seconds=audio_s):
                 irm = predict_irm(
-                    lambda p, xb: drnmf_apply(p, config, xb), best_params, x
+                    lambda p, xb: drnmf_apply(p, config, xb), best_params, x,
+                    mask_value=config.mask_value,
                 )
             desc = f"unfolded_snmf_{h}_{split}"
             with timer.stage("reconstruct", audio_seconds=audio_s):
@@ -484,7 +493,8 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
                 cache_path=os.path.join(folder_exp, f"tensors_{split}_full.npz"),
             )
             irm = predict_irm(
-                lambda p, xb: lstm_apply(p, config, xb), best_params, x
+                lambda p, xb: lstm_apply(p, config, xb), best_params, x,
+                mask_value=config.mask_value,
             )
             desc = f"lstm_{h}_{split}"
             reconstruct_split(datasets[split], irm, mask, desc)

@@ -73,6 +73,22 @@ def test_reconstruct_passthrough_nmse(dataset):
     assert all(n < 1e-6 for n in nmses), nmses
 
 
+def test_dataset_fs_from_corpus(tmp_path):
+    """The corpus sample rate is read from the first wav, so enhanced wavs
+    off-CHiME2 (non-16k) carry the right header rate."""
+    import scipy.io.wavfile
+
+    tf = make_synthetic_corpus(str(tmp_path / "a8k"), n_files=2, fs=8000,
+                               min_sec=0.4, max_sec=0.6)
+    ds = AudioDataset(tf["noisy"], tf["clean"],
+                      params_stft={"N": 256, "hop": 64, "nch": 1})
+    assert ds.fs == 8000
+    ds.reconstruct_audio("fs_test", idx=0)
+    out = ds.enhanced_path(0, "fs_test")
+    fs_written, _ = scipy.io.wavfile.read(out)
+    assert fs_written == 8000
+
+
 def test_reconstruct_with_mask_attenuates(dataset):
     y_full = dataset.reconstruct_x(0)
     nfram = dataset.fidx[0, 1] - dataset.fidx[0, 0]

@@ -144,6 +144,36 @@ def test_seq_pipelined_scan_group_count(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_seq_pipelined_scan_caches_across_param_values(rng):
+    """The jitted shard_map is reused when only param VALUES change (params
+    are program arguments, not closure constants) -- recompiling per call
+    costs minutes through the axon TPU tunnel."""
+    import numpy as np
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import _scan_hidden, step_mask_from_input
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel import seqpipe
+
+    f, r = 5, 2
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2)
+    x = jnp.asarray(rng.uniform(0, 1, (8, 16, f)).astype(np.float32))
+    mask = step_mask_from_input(x, config.mask_value)
+    mesh = make_mesh(8, axis_name="sp")
+
+    seqpipe._COMPILED.clear()
+    for seed in (0, 1):
+        w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+        w /= np.sqrt(np.sum(w**2, axis=0))
+        params = init_drnmf_params(config, w)
+        out = np.asarray(
+            seqpipe.drnmf_scan_seq_pipelined(params, config, x, mask, mesh)
+        )
+        ref = np.asarray(_scan_hidden(params, config, x, mask))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+    assert len(seqpipe._COMPILED) == 1
+
+
 def test_tensor_parallel_scan_matches_single_device(rng):
     """Megatron-style hidden-dim sharding == single-device scan exactly."""
     import numpy as np

@@ -320,3 +320,33 @@ def test_predict_irm_bucketed_matches_full(rng):
     for i, ln in enumerate(lens):
         np.testing.assert_allclose(fast[i, :ln], full[i, :ln],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_predict_irm_interior_maskvalue_frame(rng):
+    """With mask_value=0.0 (logmag configs), an all-zero frame INSIDE a valid
+    sequence must not shorten the inferred length -- lengths come from the
+    last valid frame, not a validity count."""
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params, drnmf_apply
+
+    f, r = 7, 3
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=10.0, lam1=0.5, mask_value=0.0)
+    params = init_drnmf_params(config, w)
+
+    n, t_max = 3, 40
+    x = np.zeros((n, t_max, f), np.float32)
+    lens = [30, 40, 12]
+    for i, ln in enumerate(lens):
+        x[i, :ln] = rng.uniform(0.1, 1, (ln, f)).astype(np.float32)
+    x[0, 15] = 0.0  # interior silent frame; true length is still 30
+
+    apply_fn = lambda p, xb: drnmf_apply(p, config, xb)
+    fast = pipeline.predict_irm(apply_fn, params, x, mask_value=0.0,
+                                bucket_frames=8)
+    full = np.asarray(apply_fn(params, x))
+    for i, ln in enumerate(lens):
+        np.testing.assert_allclose(fast[i, :ln], full[i, :ln],
+                                   rtol=1e-5, atol=1e-6)
