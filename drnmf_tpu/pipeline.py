@@ -262,9 +262,11 @@ def drnmf_config_from_params(params_model, input_dim, mask_value=-1.0):
 def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
                       flag_recompute=False, flag_score=True,
                       compute_pesq=False, verbose=True,
-                      splits=("valid", "test"), flag_rescore=False):
+                      splits=("valid", "test"), flag_rescore=False,
+                      mesh=None):
     """The 'unfolded_snmf' branch of the reference driver
-    (enhance.py:933-1236)."""
+    (enhance.py:933-1236).  ``mesh``: optional jax Mesh with a 'dp' axis --
+    training batches shard over it (gradients psum over ICI)."""
     ensure_experiment_dirs(folder_exp)
     if path_dicts is None:
         path_dicts = os.path.join(folder_exp, "dicts") + "/"
@@ -364,6 +366,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
                 params, pretrain_loss_fn, train_data, valid_data, tc,
                 trainable_mask=drnmf_trainable_mask(config, params),
                 savefile=savefile_pretrain, histfile=histfile + "_pretrain",
+                mesh=mesh,
             )
         pre_params, _ = load_checkpoint(savefile_pretrain)
         params = {k: np.asarray(v) for k, v in pre_params.items()}
@@ -381,6 +384,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
             eval_loss_fn=loss_fn if use_dropout else None,
             loss_takes_rng=use_dropout,
             resume=resume,
+            mesh=mesh,
         )
     else:
         best_params, _ = load_checkpoint(savefile)
@@ -418,7 +422,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
 
 def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
              flag_score=True, compute_pesq=False, verbose=True,
-             splits=("valid", "test"), flag_rescore=False):
+             splits=("valid", "test"), flag_rescore=False, mesh=None):
     """The 'lstm' branch (enhance.py:1239-1388)."""
     ensure_experiment_dirs(folder_exp)
     datasets = build_datasets(params_data)
@@ -479,7 +483,7 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
         best_params, _ = train_model(
             params, loss_fn, train_data, valid_data, tc,
             savefile=savefile, histfile=histfile,
-            resume=resume,
+            resume=resume, mesh=mesh,
         )
     else:
         best_params, _ = load_checkpoint(savefile)

@@ -111,11 +111,25 @@ def make_optimizer(train_config: TrainConfig, trainable_mask: Optional[dict] = N
 def _shard_batch(batch, mesh):
     """Async host->device transfer (device_put dispatches without blocking,
     so issuing batch i+1's transfer before batch i's step completes
-    double-buffers input against compute)."""
+    double-buffers input against compute).
+
+    With a mesh, rows shard over the 'dp' axis; a partial batch is padded
+    with zero rows (mask included) to a multiple of the axis size -- padded
+    rows carry zero mask, so both the masked losses and their gradients are
+    unchanged (the mask sum only counts real frames)."""
     if mesh is None:
         return tuple(jax.device_put(b) for b in batch)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    n_dp = int(mesh.devices.size)
+    pad = (-batch[0].shape[0]) % n_dp
+    if pad:
+        batch = tuple(
+            np.concatenate(
+                [b, np.zeros((pad,) + b.shape[1:], b.dtype)], axis=0
+            )
+            for b in batch
+        )
     sharding = NamedSharding(mesh, P("dp"))
     return tuple(jax.device_put(b, sharding) for b in batch)
 
@@ -150,7 +164,7 @@ def make_eval_step(loss_fn: Callable):
     return step
 
 
-def evaluate(eval_step, params, data, batch_size=250):
+def evaluate(eval_step, params, data, batch_size=250, mesh=None):
     """Masked-mean loss over a whole split, aggregated exactly (weighted by
     valid-frame counts per batch)."""
     x, y, mask = data
@@ -160,6 +174,7 @@ def evaluate(eval_step, params, data, batch_size=250):
         yb = y[start : start + batch_size]
         mb = mask[start : start + batch_size]
         w = float(np.sum(mb[..., 0] if mb.ndim == 3 else mb))
+        xb, yb, mb = _shard_batch((xb, yb, mb), mesh)
         loss = float(eval_step(params, xb, yb, mb))
         total += loss * w
         weight += w
@@ -198,7 +213,12 @@ def train_model(
     """
     # the train step donates its params/opt_state buffers; work on copies so
     # the caller's arrays stay valid
-    params = {k: jnp.array(v, copy=True) for k, v in params.items()}
+    if mesh is not None:
+        from ..parallel.mesh import replicate_params
+
+        params = replicate_params(params, mesh)
+    else:
+        params = {k: jnp.array(v, copy=True) for k, v in params.items()}
     optimizer = make_optimizer(train_config, trainable_mask)
     opt_state = optimizer.init(params)
     step_fn = make_train_step(loss_fn, optimizer, with_rng=loss_takes_rng)
@@ -220,7 +240,19 @@ def train_model(
 
     if resuming:
         state, opt_state = _load_train_state(state_file, opt_state)
-        params = {k: jnp.asarray(v) for k, v in state["params"].items()}
+        if mesh is not None:
+            from ..parallel.mesh import replicate_params
+
+            params = replicate_params(state["params"], mesh)
+        else:
+            params = {k: jnp.asarray(v) for k, v in state["params"].items()}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            opt_state = jax.tree.map(
+                lambda v: jax.device_put(jnp.asarray(v), rep), opt_state
+            )
         best_params = state["best_params"]
         best_val = state["best_val"]
         wait = state["wait"]
@@ -265,7 +297,7 @@ def train_model(
             epoch_loss += loss
             n_batches += 1
 
-        val_loss = evaluate(eval_fn, params, valid_data)
+        val_loss = evaluate(eval_fn, params, valid_data, mesh=mesh)
         history.on_epoch_end(
             {"loss": epoch_loss / max(n_batches, 1), "val_loss": val_loss}
         )

@@ -85,6 +85,52 @@ def test_data_parallel_train_step(rng):
     )
 
 
+def test_dp_training_multi_epoch_matches_single_device(rng):
+    """Multi-epoch data-parallel train_model == single-device train_model at
+    equal global batch: same shuffles (same seed), gradients psum'd over the
+    mesh, partial final batch padded with zero-mask rows."""
+    from drnmf_tpu.models import (
+        DRNMFConfig, init_drnmf_params, drnmf_apply, drnmf_trainable_mask,
+    )
+    from drnmf_tpu.train import (
+        TrainConfig, train_model, masked_mse_signal_approx,
+    )
+
+    f, r = 9, 4
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=10.0, lam1=0.2,
+                         params_untied=("log_D", "log_alph"),
+                         params_trainable=("log_D", "log_alph"))
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = init_drnmf_params(config, w)
+
+    def loss_fn(p, x, y, mask):
+        irm = drnmf_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    n, t = 20, 10  # n=20, batch 16 -> final batch of 4 pads to 8 devices
+    x = rng.uniform(0, 2, (n, t, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    mask = np.ones((n, t, 1), np.float32)
+    mask[3, 6:] = 0.0
+    tc = TrainConfig(epochs=3, batch_size=16, learning_rate=1e-2,
+                     patience=50, verbose=False)
+
+    _, hist_1 = train_model(params, loss_fn, (x, y, mask), (x, y, mask), tc)
+    mesh = make_mesh(8)
+    best_dp, hist_dp = train_model(params, loss_fn, (x, y, mask),
+                                   (x, y, mask), tc, mesh=mesh)
+
+    l1 = hist_1.history["on_epoch_end"]
+    ldp = hist_dp.history["on_epoch_end"]
+    assert len(ldp["loss"]) == 3
+    np.testing.assert_allclose(ldp["loss"], l1["loss"], rtol=1e-4)
+    np.testing.assert_allclose(ldp["val_loss"], l1["val_loss"], rtol=1e-4)
+    # training actually learned something
+    assert ldp["loss"][-1] < ldp["loss"][0]
+
+
 def test_seq_pipelined_scan_matches_single_device(rng):
     """Time-sharded pipelined recurrence == single-device lax.scan exactly
     (the wavefront pipeline reorders placement, not math)."""
