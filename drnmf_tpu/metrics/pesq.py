@@ -1,23 +1,24 @@
-"""PESQ (ITU-T P.862) MOS estimation, 16 kHz wideband-style mode.
+"""PESQ (ITU-T P.862) MOS estimation, 16 kHz mode.
 
-Replaces the reference's ``pesq_16kHz`` MATLAB call (score_audio.m:225).
-The reference computes PESQ when the (externally downloaded) Loizou toolbox
-is present and fills -1 otherwise (score_audio.m:9-14, 177-179).  Here PESQ
-is opt-in (``--pesq`` / ``compute=True``) because this implementation is a
-calibrated P.862-style model rather than a bit-exact ITU port -- defaulting
-it on would put approximate numbers in default score tables.
+Replaces the reference's ``pesq_16kHz`` MATLAB call (score_audio.m:225),
+which the reference computed by default on every scored file (filling -1
+only when the externally downloaded Loizou toolbox was missing,
+score_audio.m:9-14, 177-179).  PESQ is likewise computed by default here;
+pass ``compute=False`` (CLI ``--no-pesq``) to skip it.
 
-This implementation covers the P.862 perceptual model for the
-time-aligned case: level alignment to 79 dB SPL via the standard IRS-ish
-band, Bark spectrum (49 bands at 16 kHz x2 frame rate), frequency
-compensation, loudness transform (Zwicker law), asymmetric + symmetric
-disturbance aggregation with the published L5/L1 averaging, and the mapping
-to MOS.  The crude/fine time-alignment machinery of P.862 is intentionally
-omitted: mask-based enhancement produces sample-aligned outputs (the signal
-path is STFT -> mask -> iSTFT of the same recording), so delay is zero by
-construction.  Scores are therefore comparable between systems scored by
-this module (the reference's relative comparisons are what its tables
-report), though not bit-identical to ITU reference binaries.
+The implementation (``_pesq_model``) follows the P.862 perceptual model
+structurally -- standard 49-band Bark layout, per-band absolute-threshold
+table, partial frequency + smoothed gain compensation, modified Zwicker
+loudness, deadzone and asymmetry gates, frame emphasis and 45-caps,
+L6/L2 time aggregation, and the standard's linear MOS map -- for the
+time-aligned case.  The crude/fine time-alignment machinery of P.862 is
+intentionally omitted: mask-based enhancement produces sample-aligned
+outputs (the signal path is STFT -> mask -> iSTFT of the same recording),
+so delay is zero by construction.  Three scalar normalization constants
+are calibrated against published speech+white-noise MOS-vs-SNR anchors to
+within 0.15 MOS (see _pesq_model docstring); scores land on the published
+MOS scale and are comparable between systems scored by this module, though
+not bit-identical to ITU reference binaries.
 """
 
 import numpy as np

@@ -28,7 +28,7 @@ from .pesq import pesq_16k
 SCORE_LABELS = ["SDR", "SNR", "SegSNR local", "SegSNR global", "PESQ", "STOI"]
 
 
-def _score_pair(xest, xref, fs, compute_pesq=False):
+def _score_pair(xest, xref, fs, compute_pesq=True):
     """Scores for one time-aligned pair of signals
     (score_audio.m:177-238 semantics: truncate to common length first)."""
     n = min(len(xest), len(xref))
@@ -41,7 +41,7 @@ def _score_pair(xest, xref, fs, compute_pesq=False):
     return np.array([sdr, raw_snr, loc, glo, pesq_mos, stoi_score])
 
 
-def compute_scores(est_file, ref_file, compute_pesq=False):
+def compute_scores(est_file, ref_file, compute_pesq=True):
     """Scores for one file pair."""
     xest, fs_est = wavread_fs(est_file)
     xref, fs_ref = wavread_fs(ref_file)
@@ -51,7 +51,7 @@ def compute_scores(est_file, ref_file, compute_pesq=False):
 
 
 def score_taskfiles(enhanced_files, reference_files, savefile=None,
-                    compute_pesq=False, flag_rescore=False, n_workers=4,
+                    compute_pesq=True, flag_rescore=False, n_workers=4,
                     verbose=False):
     """Score a list of file pairs with caching.  Returns (S, labels):
     S is (n_files, 6)."""
@@ -114,7 +114,7 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
 
 
 def score_dataset(dataset, description, snr_name=None, savefile=None,
-                  datadir="", compute_pesq=False, flag_rescore=False,
+                  datadir="", compute_pesq=True, flag_rescore=False,
                   verbose=False):
     """Score a dataset's enhanced outputs, optionally one SNR bucket.
 

@@ -168,7 +168,7 @@ def reconstruct_split(dataset, irm, mask, description, fs=None,
             wavwrite(out, fs, wavs[row : row + 1, :nsampl])
 
 
-def score_split(dataset, description, datadir, compute_pesq=False,
+def score_split(dataset, description, datadir, compute_pesq=True,
                 flag_rescore=False, verbose=True):
     """Per-SNR scoring + overall aggregation (enhance.py:1396-1433)."""
     per_snr = []
@@ -261,7 +261,7 @@ def drnmf_config_from_params(params_model, input_dim, mask_value=-1.0):
 
 def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
                       flag_recompute=False, flag_score=True,
-                      compute_pesq=False, verbose=True,
+                      compute_pesq=True, verbose=True,
                       splits=("valid", "test"), flag_rescore=False,
                       mesh=None):
     """The 'unfolded_snmf' branch of the reference driver
@@ -421,7 +421,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
 
 
 def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
-             flag_score=True, compute_pesq=False, verbose=True,
+             flag_score=True, compute_pesq=True, verbose=True,
              splits=("valid", "test"), flag_rescore=False, mesh=None):
     """The 'lstm' branch (enhance.py:1239-1388)."""
     ensure_experiment_dirs(folder_exp)
@@ -511,7 +511,7 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
 
 
 def run_snmf(params_model, params_data, folder_exp, path_dicts=None,
-             flag_recompute=False, flag_score=True, compute_pesq=False,
+             flag_recompute=False, flag_score=True, compute_pesq=True,
              verbose=True, splits=("valid", "test"), flag_rescore=False):
     """The 'snmf' branch (enhance.py:750-928): dictionary + frozen-W MU
     inference as the enhancer."""
