@@ -8,7 +8,10 @@ files); here the sources are the npz checkpoints, pickled histories, and npz
 score files the pipeline writes.
 
 Usage:
-    python scripts/print_scores.py data_setup_downsample1 [--latex]
+    python scripts/print_scores.py data_setup_downsample1 [--latex] [--per-snr]
+
+``--per-snr`` adds the per-SNR-condition breakdown (m6dB..9dB columns per
+split) like the reference's ``print_per_snr`` mode (print_scores.py:93-100).
 """
 
 import argparse
@@ -26,6 +29,23 @@ from drnmf_tpu.reporting import (  # noqa: E402
     latex_table,
     mean_scores_from_files,
 )
+
+
+SNRS = ["m6dB", "m3dB", "0dB", "3dB", "6dB", "9dB"]
+
+
+def per_snr_means(folder_exp, tag, split, score_idx=0):
+    """Mean score per SNR condition for one model+split, from the per-SNR
+    score files the pipeline writes (scores_<tag>_<split>_<snr>.npz).
+    Returns {snr: mean} for the conditions that have a score file."""
+    score_dir = os.path.join(folder_exp, "scores")
+    out = {}
+    for snr in SNRS:
+        path = os.path.join(score_dir, f"scores_{tag}_{split}_{snr}.npz")
+        if os.path.isfile(path):
+            S = np.load(path)["S"]
+            out[snr] = float(np.mean(S[:, score_idx]))
+    return out
 
 
 def model_rows(folder_exp, splits=("valid", "test")):
@@ -89,6 +109,9 @@ def main():
     parser.add_argument("folder_exp")
     parser.add_argument("--latex", action="store_true")
     parser.add_argument("--splits", default="valid,test")
+    parser.add_argument("--per-snr", action="store_true",
+                        help="add mean-SDR-per-SNR-condition columns "
+                        "(reference print_scores.py:93-100)")
     args = parser.parse_args()
 
     splits = tuple(s for s in args.splits.split(",") if s)
@@ -98,6 +121,29 @@ def main():
 
     def fmt(v, spec=".3f"):
         return format(v, spec) if isinstance(v, float) else str(v)
+
+    if args.per_snr:
+        # per-SNR breakdown: one row per model, SNR-condition columns per
+        # split, then the overall mean (reference print_per_snr layout)
+        for split in splits:
+            print(f"mean SDR per SNR -- {split}:")
+            hdr = (f"{'model':<36} "
+                   + " ".join(f"{snr:>7}" for snr in SNRS) + f" {'all':>7}")
+            print(hdr)
+            print("-" * len(hdr))
+            for r in rows:
+                means = per_snr_means(args.folder_exp, r["tag"], split)
+                if not means:
+                    continue
+                cols = " ".join(
+                    f"{means[snr]:7.2f}" if snr in means else f"{'-':>7}"
+                    for snr in SNRS
+                )
+                overall = r.get(f"sdr_{split}")
+                ov = f"{overall:7.2f}" if overall is not None else f"{'-':>7}"
+                print(f"{r['tag']:<36} {cols} {ov}")
+            print()
+        return
 
     if args.latex:
         table_rows = [

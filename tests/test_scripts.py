@@ -99,6 +99,35 @@ def test_print_scores_empty(tmp_path):
     assert "no configs" in r.stderr
 
 
+def test_print_scores_per_snr(tmp_path):
+    """--per-snr prints the m6dB..9dB breakdown per model from the per-SNR
+    score files (reference print_scores.py:93-100)."""
+    import yaml
+
+    exp = tmp_path / "exp"
+    (exp / "configs").mkdir(parents=True)
+    (exp / "scores").mkdir()
+    tag = "unfolded_snmf_abc123"
+    with open(exp / "configs" / f"params_{tag}.yaml", "w") as f:
+        yaml.safe_dump({"K_layers": 2, "r": 8}, f)
+    rng = np.random.default_rng(0)
+    for snr, base in [("m6dB", 4.0), ("0dB", 7.0), ("9dB", 11.0)]:
+        S = np.zeros((3, 6))
+        S[:, 0] = base + rng.uniform(-0.1, 0.1, 3)
+        np.savez(exp / "scores" / f"scores_{tag}_valid_{snr}.npz", S=S)
+    r = run([os.path.join(SCRIPTS, "print_scores.py"), str(exp),
+             "--per-snr", "--splits", "valid"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    out = r.stdout
+    assert "m6dB" in out and "9dB" in out
+    line = next(l for l in out.splitlines() if tag in l)
+    cols = line.split()
+    # m6dB ~4.0, missing conditions print '-', 9dB ~11.0
+    assert abs(float(cols[1]) - 4.0) < 0.2
+    assert cols[2] == "-"  # m3dB has no score file
+    assert abs(float(cols[6]) - 11.0) < 0.2
+
+
 def test_run_waspaa2017_smoke_generate(tmp_path):
     r = run([os.path.join(SCRIPTS, "run_waspaa2017.py"), "--smoke",
              "--generate-only"], str(tmp_path))
