@@ -29,6 +29,55 @@ def _enable_compile_cache():
     enable_compile_cache()
 
 
+# bf16 matmul peak per chip (the MXU path XLA uses for f32 matmuls at
+# default precision), TFLOP/s
+_PEAK_TFLOPS = {
+    "TPU v2": 45.0,
+    "TPU v3": 123.0,
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,  # v5p
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def drnmf_forward_flops(config, batch, frames, n_fft=None):
+    """Model FLOPs (2 * MACs) of one DR-NMF forward pass over a (batch,
+    frames, F) input: the K-layer scan's three matmuls per timestep plus the
+    two reconstruction heads, and optionally the matmul-DFT STFT+iSTFT when
+    ``n_fft`` is given (the enhance path).
+
+    Counted explicitly because XLA's HLO cost analysis does not multiply a
+    ``lax.scan`` body by its trip count (it reports the per-step cost once,
+    ~T times too low for this model)."""
+    h = config.hidden_dim  # 2r
+    f = config.input_dim
+    k = config.K_layers
+    per_frame = (
+        k * 2 * h * h          # h_prev @ U_k
+        + (k - 1) * 2 * h * h  # hidden_{k-1} @ S_k
+        + k * 2 * f * h        # x_t @ W_k
+        + 2 * 2 * (h // 2) * f  # exp-dense clean/noise heads
+    )
+    if n_fft is not None:
+        per_frame += 4 * 2 * n_fft * f  # fwd+inv matmul-DFT (cos+sin each)
+    return batch * frames * per_frame
+
+
+def _mfu(model_flops, wall_seconds):
+    """(model TFLOP/s, model FLOPs utilization) against the chip's bf16
+    matmul peak; MFU is None off-TPU / on unknown chips."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    peak = _PEAK_TFLOPS.get(kind)
+    tflops = model_flops / wall_seconds / 1e12
+    return round(tflops, 1), (round(tflops / peak, 3) if peak else None)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -77,6 +126,12 @@ def main():
 
     audio_seconds = batch * seconds
     rtf = audio_seconds / wall
+    from drnmf_tpu.dsp.stft import n_frames_for_length
+
+    n_frames = n_frames_for_length(nsampl, n_fft, hop)
+    tflops, mfu = _mfu(
+        drnmf_forward_flops(config, batch, n_frames, n_fft=n_fft), wall
+    )
     print(
         json.dumps(
             {
@@ -84,6 +139,8 @@ def main():
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 100.0, 4),
+                "model_tflops_per_s": tflops,
+                "mfu": mfu,
             }
         )
     )
@@ -140,12 +197,18 @@ def bench_train():
         params, opt_state, loss = step(params, opt_state, x, y, mask)
     jax.block_until_ready(loss)
     per_step = (time.perf_counter() - t0) / n_iter
+    # standard training-FLOP convention: backward ~= 2x forward matmul work
+    tflops, mfu = _mfu(
+        3 * drnmf_forward_flops(config, bsz, maxlen), per_step
+    )
     # reference scale: 17296 iterations/epoch at 100% data (BASELINE.md)
     print(json.dumps({
         "metric": "drnmf_train_steps_per_second",
         "value": round(1.0 / per_step, 2),
         "unit": "steps_per_s",
         "epoch_seconds_full_chime2": round(per_step * 17296, 1),
+        "model_tflops_per_s": tflops,
+        "mfu": mfu,
     }))
 
 
