@@ -247,6 +247,96 @@ def bench_snmf():
     }))
 
 
+def bench_score():
+    """Scoring-engine throughput: all six metrics (SDR, SNR, SegSNR x2,
+    PESQ, STOI) over synthetic utterance pairs -- the stage the reference
+    ran as a MATLAB parfor pool (score_audio.m:72-98).  Reports audio
+    seconds scored per wall second for (a) the per-file thread-pool path
+    and (b) the bucketed batched device path for SDR+SegSNR with
+    PESQ/STOI/SNR on the host pool."""
+    from drnmf_tpu.metrics.scoring import _score_pair
+    from drnmf_tpu.metrics.bss_eval import bss_eval_sdr_many
+    from drnmf_tpu.metrics.snr import snrseg_batch
+    from concurrent.futures import ThreadPoolExecutor
+
+    fs = 16000
+    rng = np.random.default_rng(7)
+    n_files = 64
+    pairs = []
+    audio_seconds = 0.0
+    for i in range(n_files):
+        n = int(fs * rng.uniform(2.0, 5.0))
+        t = np.arange(n) / fs
+        f0 = 120 + 40 * (i % 5)
+        ref = (0.1 * np.sin(2 * np.pi * f0 * t)
+               * (0.5 + 0.5 * np.sin(2 * np.pi * 2.0 * t))).astype(np.float32)
+        est = ref + 0.02 * rng.standard_normal(n).astype(np.float32)
+        pairs.append((est, ref))
+        audio_seconds += n / fs
+
+    def per_file():
+        def job(p):
+            return _score_pair(p[0], p[1], fs)
+
+        out = [job(pairs[0])]  # warm jit caches
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            out.extend(pool.map(job, pairs[1:]))
+        return np.stack(out)
+
+    def batched():
+        # device: bucketed batch SDR + batch SegSNR; host pool: SNR/PESQ/STOI
+        ests = [p[0] for p in pairs]
+        refs = [p[1] for p in pairs]
+        sdr = bss_eval_sdr_many(ests, refs)
+        t_pad = max(len(e) for e in ests)
+        ep = np.zeros((n_files, t_pad), np.float32)
+        rp = np.zeros((n_files, t_pad), np.float32)
+        lens = np.zeros(n_files, np.int32)
+        for i, (e, r) in enumerate(pairs):
+            ep[i, : len(e)] = e
+            rp[i, : len(r)] = r
+            lens[i] = len(e)
+        loc, glo = snrseg_batch(ep, rp, lens, fs)
+
+        from drnmf_tpu.metrics.snr import snr as snr_fn
+        from drnmf_tpu.metrics.pesq import pesq_16k
+        from drnmf_tpu.metrics.stoi import stoi as stoi_fn
+
+        def host_job(p):
+            return (snr_fn(p[0], p[1]), pesq_16k(p[1], p[0], fs),
+                    stoi_fn(p[1], p[0], fs))
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            host = list(pool.map(host_job, pairs))
+        S = np.zeros((n_files, 6))
+        S[:, 0] = np.asarray(sdr)
+        S[:, 1] = [h[0] for h in host]
+        S[:, 2] = np.asarray(loc)
+        S[:, 3] = np.asarray(glo)
+        S[:, 4] = [h[1] for h in host]
+        S[:, 5] = [h[2] for h in host]
+        return S
+
+    results = {}
+    for name, fn in (("per_file", per_file), ("batched", batched)):
+        fn()  # warm compile caches
+        t0 = time.perf_counter()
+        S = fn()
+        results[name] = (audio_seconds / (time.perf_counter() - t0), S)
+
+    rtf_pf, S_pf = results["per_file"]
+    rtf_b, S_b = results["batched"]
+    agree = float(np.max(np.abs(S_pf - S_b)))
+    print(json.dumps({
+        "metric": "scoring_rtf_per_chip",
+        "value": round(max(rtf_pf, rtf_b), 2),
+        "unit": "x_realtime",
+        "per_file_rtf": round(rtf_pf, 2),
+        "batched_rtf": round(rtf_b, 2),
+        "max_abs_path_disagreement": round(agree, 4),
+    }))
+
+
 if __name__ == "__main__":
     _enable_compile_cache()
     main()
@@ -254,3 +344,5 @@ if __name__ == "__main__":
         bench_train()
     if "--snmf" in sys.argv:
         bench_snmf()
+    if "--score" in sys.argv:
+        bench_score()

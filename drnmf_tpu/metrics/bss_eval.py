@@ -99,10 +99,12 @@ def bss_eval_sdr_many(est_list, ref_list, flen: int = FLEN):
 
     Library utility for vmapped consumers.  (Measured note: routing
     score_taskfiles through this was SLOWER than its per-file thread pool on
-    CPU -- pow2 padding overwork + serialized stages -- so the scoring
-    engine does not use it.)  Non-finite entries (the rare rank-deficient
-    references) are retried per file with the escalating ridge of
-    :func:`bss_eval_sdr`."""
+    BOTH backends -- CPU: pow2 padding overwork + serialized stages; TPU v5e
+    behind the axon tunnel: 48x RT vs the pool's 127x for the SDR stage,
+    dominated by the large padded-batch host->device transfers -- so the
+    scoring engine does not use it.)  Non-finite entries (the rare
+    rank-deficient references) are retried per file with the escalating
+    ridge of :func:`bss_eval_sdr`."""
     n_files = len(est_list)
     out = np.zeros(n_files, np.float64)
     buckets = {}

@@ -11,7 +11,13 @@ divides by the total file count).
 Parallelism: where the reference used MATLAB ``parfor`` over files
 (score_audio.m:72-98), here the per-file heavy kernels (SDR solve, STOI
 band correlations) are jit'd JAX programs and files stream through them;
-a thread pool overlaps wav decode with device compute.
+a thread pool overlaps wav decode, host metrics (PESQ) and device dispatch
+latency.  Measured on v5e behind the axon tunnel (64 files, 224 audio-s;
+``bench.py --score``): 8 workers = 66x RT vs 43x at 4 (plateau above 8 --
+device serialization); the fully batched device path
+(``bss_eval_sdr_many`` + ``snrseg_batch``) measured SLOWER (25x RT) because
+pow2 FFT padding and large padded-batch host->device transfers outweigh
+the dispatch savings, so the per-file pool stays the engine.
 """
 
 import os
@@ -51,7 +57,7 @@ def compute_scores(est_file, ref_file, compute_pesq=True):
 
 
 def score_taskfiles(enhanced_files, reference_files, savefile=None,
-                    compute_pesq=True, flag_rescore=False, n_workers=4,
+                    compute_pesq=True, flag_rescore=False, n_workers=8,
                     verbose=False):
     """Score a list of file pairs with caching.  Returns (S, labels):
     S is (n_files, 6)."""
