@@ -31,6 +31,8 @@ from ..dsp.stft import (
     pad_signal,
     bucket_total as _bucket_total,
     n_frames_for_length,
+    to_device_complex,
+    from_device_complex,
 )
 
 
@@ -98,7 +100,9 @@ def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False)
                 pad_signal(jnp.asarray(signals[i]), n_fft, hop, total=total_len)
             )
             batch[row] = xp
-        spec = np.asarray(stft_frames(jnp.asarray(batch), window, n_fft, hop))
+        # complex arrays cross the host boundary as f32 real/imag pairs
+        # (complex DMA is unimplemented on some TPU transports)
+        spec = from_device_complex(stft_frames(jnp.asarray(batch), window, n_fft, hop))
         # spec: (B, nch, n_frames_bucket, F)
         for row, i in enumerate(idxs):
             nf = nframes[i]
@@ -106,7 +110,9 @@ def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False)
             if flag_unwrap_phase:
                 from ..dsp.phase import remove_hop_phase
 
-                s = np.asarray(remove_hop_phase(jnp.asarray(s), n_fft, hop))
+                s = from_device_complex(
+                    remove_hop_phase(to_device_complex(s), n_fft, hop)
+                )
             # reference layout: (F, nch, nfram) -> (nch*F, nfram) Fortran order
             # == channel-major stacking of F-rows; equivalently for nch==1 it
             # is just (F, nfram).
@@ -263,7 +269,7 @@ class AudioDataset:
         nch = half // f_bins
         nfram = spec.shape[1]
         spec = spec.reshape(nch, f_bins, nfram).transpose(0, 2, 1)  # (nch, T, F)
-        xr = np.asarray(istft(jnp.asarray(spec.astype(np.complex64)), n_fft, hop,
+        xr = np.asarray(istft(spec.astype(np.complex64), n_fft, hop,
                               jnp.asarray(window)))
         return xr  # (nch, nsampl)
 

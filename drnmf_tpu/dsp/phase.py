@@ -71,7 +71,9 @@ def aug_stft(x, n_fft: int, hop: int, flag_unwrap_phase: bool = False,
     spec = stft(jnp.asarray(x), n_fft, hop, jnp.asarray(window))  # (T, F)
     if flag_unwrap_phase:
         spec = remove_hop_phase(spec, n_fft, hop)
-    spec = np.asarray(spec).T  # (F, T)
+    from .stft import from_device_complex
+
+    spec = from_device_complex(spec).T  # (F, T)
     return np.concatenate([spec.real, spec.imag], axis=0).astype(np.float32)
 
 
@@ -97,7 +99,9 @@ def iaug_stft(X, f_bins: int, nsrc: int, flag_unwrap_phase: bool = False,
         xs = Xc[isrc * nch * f_bins : (isrc + 1) * nch * f_bins]
         # (nch*F, T) stored channel-major like compute_STFTs -> (nch, F, T)
         xs = xs.reshape(f_bins, nch, n_frames, order="F")
-        spec = jnp.asarray(np.transpose(xs, (1, 2, 0)).astype(np.complex64))
+        from .stft import to_device_complex
+
+        spec = to_device_complex(np.transpose(xs, (1, 2, 0)).astype(np.complex64))
         if flag_unwrap_phase:
             spec = add_hop_phase(spec, n_fft, hop)
         xr = np.asarray(istft(spec, n_fft, hop, jnp.asarray(window)))  # (nch, n)

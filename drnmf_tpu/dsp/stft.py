@@ -156,6 +156,31 @@ def pad_signal(x: jnp.ndarray, n_fft: int, hop: int, total: int | None = None) -
     return jnp.pad(x, pad)
 
 
+def to_device_complex(spec) -> jnp.ndarray:
+    """Host complex array -> device complex64 via two float32 transfers.
+
+    Complex host<->device DMA is unimplemented on some TPU transports (the
+    axon tunnel raises UNIMPLEMENTED); real/imag float32 pairs are also what
+    the hardware natively wants.  Device arrays pass through untouched."""
+    if isinstance(spec, jax.Array):
+        return spec
+    spec = np.asarray(spec)
+    if not np.iscomplexobj(spec):
+        return jnp.asarray(spec)
+    re = jnp.asarray(np.ascontiguousarray(spec.real, dtype=np.float32))
+    im = jnp.asarray(np.ascontiguousarray(spec.imag, dtype=np.float32))
+    return jax.lax.complex(re, im)
+
+
+def from_device_complex(spec: jnp.ndarray) -> np.ndarray:
+    """Device complex array -> host complex64 via two float32 fetches
+    (see :func:`to_device_complex`)."""
+    out = np.empty(spec.shape, np.complex64)
+    out.real = np.asarray(jnp.real(spec))
+    out.imag = np.asarray(jnp.imag(spec))
+    return out
+
+
 def stft(x: jnp.ndarray, n_fft: int = 512, hop: int = 128,
          window: jnp.ndarray | None = None) -> jnp.ndarray:
     """Full reference-semantics STFT: pad + frame + window + rFFT.
@@ -226,7 +251,7 @@ def istft(spec: jnp.ndarray, n_fft: int = 512, hop: int = 128,
     """
     if window is None:
         window = jnp.asarray(sqrt_hann_periodic(n_fft))
-    y = istft_frames(jnp.asarray(spec), jnp.asarray(window), n_fft, hop)
+    y = istft_frames(to_device_complex(spec), jnp.asarray(window), n_fft, hop)
     y = y[..., n_fft:-n_fft] if y.shape[-1] > 2 * n_fft else y[..., :0]
     if nsampl is not None:
         y = y[..., :nsampl]

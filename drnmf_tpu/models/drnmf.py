@@ -61,6 +61,10 @@ class DRNMFConfig:
     transform_before_irm: Optional[str] = None  # None | 'square'
     use_pallas: bool = False  # fused VMEM-resident recurrence kernel
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
+    # 'bfloat16' keeps the recurrence weights bf16-resident in VMEM (halves
+    # the kernel's weight footprint; numerics = XLA's default f32-matmul
+    # lowering, which also runs bf16 MXU passes)
+    pallas_weights_dtype: str = "float32"
     # cell capability flags mirroring SimpleDeepRNN (custom_layers.py:131-168)
     activation: str = "relu"  # relu | tanh | sigmoid | linear
     connect_input_to_layers: bool = True  # x_t fed to every layer k (:366-368)
@@ -267,13 +271,15 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
         from ..ops.pallas import drnmf_scan_pallas
 
         n2r = config.hidden_dim
+        wdt = (jnp.bfloat16 if config.pallas_weights_dtype == "bfloat16"
+               else jnp.float32)
         s_stack = (
             jnp.stack(S) if S else jnp.zeros((1, n2r, n2r), jnp.float32)
         )
         return drnmf_scan_pallas(
             x, step_mask, h_init,
-            U[0], U[1] if K > 1 else jnp.zeros_like(U[0]),
-            s_stack, jnp.stack(W), jnp.stack(b),
+            U[0].astype(wdt), (U[1] if K > 1 else jnp.zeros_like(U[0])).astype(wdt),
+            s_stack.astype(wdt), jnp.stack(W).astype(wdt), jnp.stack(b),
             interpret=config.pallas_interpret,
         )
 

@@ -35,6 +35,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _dot(a, w):
+    """Activation x weight matmul; bf16-resident weights get bf16 lhs too
+    (the MXU's native input width -- identical numerics to XLA's default
+    f32-matmul lowering, which also feeds the MXU bf16 passes) with f32
+    accumulation."""
+    if w.dtype != jnp.float32:
+        a = a.astype(w.dtype)
+    return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+
 def _kernel(x_ref, m_ref, h0_ref, u1_ref, uk_ref, s_ref, w_ref, b_ref,
             out_ref, h_carry, *, k_layers):
     t = pl.program_id(0)
@@ -48,12 +58,10 @@ def _kernel(x_ref, m_ref, h0_ref, u1_ref, uk_ref, s_ref, w_ref, b_ref,
     hidden = None
     for k in range(k_layers):
         u = u1_ref[:] if k == 0 else uk_ref[:]
-        pre = jnp.dot(h_prev, u, preferred_element_type=jnp.float32)
+        pre = _dot(h_prev, u)
         if k > 0:
-            pre = pre + jnp.dot(
-                hidden, s_ref[k - 1], preferred_element_type=jnp.float32
-            )
-        pre = pre + jnp.dot(x_t, w_ref[k], preferred_element_type=jnp.float32)
+            pre = pre + _dot(hidden, s_ref[k - 1])
+        pre = pre + _dot(x_t, w_ref[k])
         hidden = jnp.maximum(pre + b_ref[k][None, :], 0.0)
     m_t = m_ref[0]  # (B, 1)
     h_new = jnp.where(m_t > 0, hidden, h_prev)

@@ -158,7 +158,7 @@ def reconstruct_split(dataset, irm, mask, description, fs=None,
             seg = dataset.x_stack[:, dataset.fidx[j, 0] : dataset.fidx[j, 1]]
             masked = irm[j, : lens[j], :].T * (seg[:half] + 1j * seg[half:])
             spec[row, : lens[j]] = masked.T
-        wavs = np.asarray(istft(jnp.asarray(spec), n_fft, hop, window))
+        wavs = np.asarray(istft(spec, n_fft, hop, window))
         for row, j in enumerate(idxs):
             # per-utterance parity: istft with nsampl=None trims the OLA of
             # L frames (N + hop*(L-1) samples) by N at each edge

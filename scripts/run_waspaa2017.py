@@ -119,6 +119,30 @@ def data_config(downsample, taskfile_dir="."):
     return cfg
 
 
+def demo_grid(epochs=40):
+    """The FULL 10-model paper grid (same model sizes: SNMF r in {100,1000},
+    LSTM K/N pairs, DR-NMF K in {2,5} x r in {100,1000}) at a demo training
+    schedule -- epochs cut from 400/1200 to ``epochs`` and SNMF dictionary
+    iterations from 1000 to 200 -- so the whole grid runs end-to-end on one
+    chip in minutes instead of GPU-weeks.  Used with ``--data-config`` and a
+    synthetic corpus when the licensed CHiME2 data is unavailable."""
+    out = []
+    for model_type, cfg in GRID:
+        c = dict(cfg)
+        if model_type == "snmf":
+            c["snmf_max_iter"] = 200
+            c["infer_max_iter"] = 100
+        else:
+            c["epochs"] = epochs
+            # hash-excluded run control: interrupted demo runs continue
+            # exactly instead of restarting (train/loop.py elastic resume)
+            c["resume"] = True
+            if "snmf_max_iter" in c:
+                c["snmf_max_iter"] = 200  # share the snmf runs' dictionaries
+        out.append((model_type, c))
+    return out
+
+
 # miniature grid for --smoke: exercises every model family and the
 # SNMF-dictionary cache reuse between the snmf and unfolded_snmf runs
 SMOKE_GRID = [
@@ -150,7 +174,9 @@ def generate_configs(downsample, taskfile_dir=".", grid=None,
         dump_yaml(data_config(downsample, taskfile_dir), data_config_path)
     model_paths = []
     for model_type, cfg in (grid or GRID):
-        h = config_hash(cfg)
+        # 'resume' is run control, not model identity: hash like the
+        # pipeline does so config filenames match its artifact names
+        h = config_hash(cfg, exclude=("resume",))
         path = os.path.join(setup, "configs", f"params_{model_type}_{h}.yaml")
         dump_yaml(cfg, path)
         model_paths.append(path)
@@ -170,6 +196,10 @@ def main():
     parser.add_argument("--smoke", action="store_true",
                         help="tiny 3-model grid (one per family) for a fast "
                         "end-to-end check of the whole orchestration")
+    parser.add_argument("--demo", action="store_true",
+                        help="the full 10-model paper grid at a demo "
+                        "training schedule (see demo_grid)")
+    parser.add_argument("--demo-epochs", type=int, default=40)
     parser.add_argument("--data-config", default=None,
                         help="use an existing params_data.yaml instead of "
                         "generating the CHiME2 one (e.g. a synthetic corpus)")
@@ -191,7 +221,9 @@ def main():
 
         downsamples = [int(load_yaml(args.data_config).get("downsample", 1))]
 
-    grid = SMOKE_GRID if args.smoke else None
+    grid = SMOKE_GRID if args.smoke else (
+        demo_grid(args.demo_epochs) if args.demo else None
+    )
     for ds in downsamples:
         data_path, model_paths = generate_configs(
             ds, args.taskfile_dir, grid=grid,

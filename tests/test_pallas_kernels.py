@@ -34,6 +34,28 @@ def test_pallas_scan_matches_xla_scan(rng, K):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_scan_bf16_weights_close_to_xla(rng):
+    """bf16-resident weights: same recurrence within bf16 mantissa noise
+    (the serving-precision configuration; halves the kernel's VMEM weight
+    footprint so the flagship K=5/2r=2000 stack fits)."""
+    f, r, T, B = 24, 4, 9, 2
+    base = dict(input_dim=f, r=r, output_dim=f, K_layers=3,
+                alph=10.0, lam1=0.3, params_untied=("log_D",),
+                params_trainable=("log_D",))
+    cfg_xla = DRNMFConfig(**base)
+    cfg_pl = DRNMFConfig(**base, use_pallas=True, pallas_interpret=True,
+                         pallas_weights_dtype="bfloat16")
+    w = make_dict(rng, f, 2 * r)
+    params = init_drnmf_params(cfg_xla, w)
+    x = rng.uniform(0.0, 2.0, (B, T, f)).astype(np.float32)
+
+    irm_xla = drnmf_apply(params, cfg_xla, x)
+    irm_pl = drnmf_apply(params, cfg_pl, x)
+    err = np.max(np.abs(np.asarray(irm_pl) - np.asarray(irm_xla)))
+    assert err < 0.05, err  # bf16 weight rounding, not a wrong recurrence
+    assert err > 0.0  # actually ran reduced precision
+
+
 def test_vmem_feasibility_estimates():
     # small model fits
     assert pallas_scan_supported(2, 200, 257, 32)
