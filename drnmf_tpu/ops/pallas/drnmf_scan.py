@@ -46,56 +46,90 @@ def _dot(a, w):
 
 
 def _kernel(x_ref, m_ref, h0_ref, u1_ref, uk_ref, s_ref, w_ref, b_ref,
-            out_ref, h_carry, *, k_layers):
+            out_ref, h_carry, *, k_layers, block_t):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         h_carry[:] = h0_ref[:]
 
+    # block_t timesteps per grid step: the recurrence stays sequential, but
+    # grid/DMA bookkeeping amortizes over the block
     h_prev = h_carry[:]
-    x_t = x_ref[0]
-    hidden = None
-    for k in range(k_layers):
-        u = u1_ref[:] if k == 0 else uk_ref[:]
-        pre = _dot(h_prev, u)
-        if k > 0:
-            pre = pre + _dot(hidden, s_ref[k - 1])
-        pre = pre + _dot(x_t, w_ref[k])
-        hidden = jnp.maximum(pre + b_ref[k][None, :], 0.0)
-    m_t = m_ref[0]  # (B, 1)
-    h_new = jnp.where(m_t > 0, hidden, h_prev)
-    h_carry[:] = h_new
-    out_ref[0] = h_new
+    for c in range(block_t):
+        x_t = x_ref[c]
+        hidden = None
+        for k in range(k_layers):
+            u = u1_ref[:] if k == 0 else uk_ref[:]
+            pre = _dot(h_prev, u)
+            if k > 0:
+                pre = pre + _dot(hidden, s_ref[k - 1])
+            pre = pre + _dot(x_t, w_ref[k])
+            hidden = jnp.maximum(pre + b_ref[k][None, :], 0.0)
+        m_t = m_ref[c]  # (B, 1)
+        h_prev = jnp.where(m_t > 0, hidden, h_prev)
+        out_ref[c] = h_prev
+    h_carry[:] = h_prev
 
 
 def drnmf_scan_pallas(x, step_mask, h0, u1, uk, s_stack, w_stack, b_stack,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      vmem_limit_bytes: int | None = None,
+                      block_t: int = 2):
     """Run the recurrence.
 
     x: (B, T, F); step_mask: (B, T) bool; h0: (B, 2r);
     u1, uk: (2r, 2r); s_stack: (K-1, 2r, 2r) (dummy (1, ...) when K == 1);
     w_stack: (K, F, 2r); b_stack: (K, 2r).
     Returns hidden states (B, T, 2r) float32.
+
+    ``vmem_limit_bytes``: raise the kernel's scoped-VMEM budget when the
+    weight stack exceeds the platform default (the flagship K=5/2r=2000
+    stack is ~56 MB in bf16 -- auto-raised to fit when None).
     """
     bsz, t_len, f = x.shape
     n2r = h0.shape[-1]
     k_layers = w_stack.shape[0]
 
+    if vmem_limit_bytes is None:
+        def pad128(n):
+            return -(-n // 128) * 128
+
+        wbytes = u1.dtype.itemsize
+        weights = (
+            (2 + max(1, k_layers - 1)) * pad128(n2r) * pad128(n2r) * wbytes
+            + k_layers * pad128(f) * pad128(n2r) * wbytes
+            + k_layers * pad128(n2r) * 4
+        )
+        act = (
+            2 * block_t * bsz * (pad128(f) + pad128(n2r))  # x/out, 2x buffered
+            + 4 * bsz * pad128(n2r)  # carry, h0, layer temps
+        ) * 4
+        vmem_limit_bytes = min(int((weights + act) * 1.25), 126 * 1024 * 1024)
+
     xT = jnp.swapaxes(x, 0, 1)  # (T, B, F)
     mT = jnp.swapaxes(step_mask, 0, 1)[..., None].astype(jnp.float32)  # (T, B, 1)
 
-    grid = (t_len,)
+    block_t = max(1, min(block_t, t_len))
+    pad_t = (-t_len) % block_t
+    if pad_t:
+        # padded steps carry mask 0: they hold the state and their outputs
+        # are sliced off below
+        xT = jnp.pad(xT, ((0, pad_t), (0, 0), (0, 0)))
+        mT = jnp.pad(mT, ((0, pad_t), (0, 0), (0, 0)))
+    t_pad = t_len + pad_t
+
+    grid = (t_pad // block_t,)
     const = lambda t: (0, 0)
     const3 = lambda t: (0, 0, 0)
 
     out = pl.pallas_call(
-        partial(_kernel, k_layers=k_layers),
+        partial(_kernel, k_layers=k_layers, block_t=block_t),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bsz, f), lambda t: (t, 0, 0),
+            pl.BlockSpec((block_t, bsz, f), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bsz, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((block_t, bsz, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bsz, n2r), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((n2r, n2r), const, memory_space=pltpu.VMEM),
@@ -104,13 +138,15 @@ def drnmf_scan_pallas(x, step_mask, h0, u1, uk, s_stack, w_stack, b_stack,
             pl.BlockSpec(w_stack.shape, const3, memory_space=pltpu.VMEM),
             pl.BlockSpec(b_stack.shape, const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bsz, n2r), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((block_t, bsz, n2r), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_len, bsz, n2r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, bsz, n2r), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bsz, n2r), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
     )(xT, mT, h0, u1, uk, s_stack, w_stack, b_stack)
-    return jnp.swapaxes(out, 0, 1)
+    return jnp.swapaxes(out[:t_len], 0, 1)
 
 
 def pallas_scan_supported(k_layers: int, n2r: int, f: int, bsz: int,

@@ -34,6 +34,35 @@ def test_pallas_scan_matches_xla_scan(rng, K):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_scan_block_t_padding(rng):
+    """Multi-timestep grid blocks with T not divisible by block_t: padded
+    steps carry mask 0 and are sliced off -- outputs equal the XLA scan."""
+    from drnmf_tpu.ops.pallas import drnmf_scan_pallas
+    from drnmf_tpu.models.drnmf import (
+        _effective_matrices, _scan_hidden, step_mask_from_input,
+    )
+    import jax
+    import jax.numpy as jnp
+
+    f, r, T, B, K = 16, 4, 11, 2, 2  # T=11 pads to 12 at block_t=4
+    cfg = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                      alph=10.0, lam1=0.3)
+    params = init_drnmf_params(cfg, make_dict(rng, f, 2 * r))
+    x = jnp.asarray(rng.uniform(0.0, 2.0, (B, T, f)).astype(np.float32))
+    sm = step_mask_from_input(x, cfg.mask_value)
+    ref = np.asarray(_scan_hidden(params, cfg, x, sm))
+
+    U, S, W, b = _effective_matrices(params, cfg)
+    h0 = jax.nn.softplus(params["log_h0"])
+    h_init = jnp.broadcast_to(h0[None, :], (B, cfg.hidden_dim))
+    for bt in (1, 4):
+        out = drnmf_scan_pallas(
+            x, sm, h_init, U[0], U[1], jnp.stack(S), jnp.stack(W),
+            jnp.stack(b), interpret=True, block_t=bt,
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_scan_bf16_weights_close_to_xla(rng):
     """bf16-resident weights: same recurrence within bf16 mantissa noise
     (the serving-precision configuration; halves the kernel's VMEM weight
