@@ -26,8 +26,6 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from ..dsp.wav import wavread_fs
-from .bss_eval import bss_eval_sdr
-from .snr import snr, snrseg
 from .stoi import stoi
 from .pesq import pesq_16k
 
@@ -36,12 +34,15 @@ SCORE_LABELS = ["SDR", "SNR", "SegSNR local", "SegSNR global", "PESQ", "STOI"]
 
 def _score_pair(xest, xref, fs, compute_pesq=True):
     """Scores for one time-aligned pair of signals
-    (score_audio.m:177-238 semantics: truncate to common length first)."""
+    (score_audio.m:177-238 semantics: truncate to common length first).
+
+    SDR/SNR/SegSNR run as ONE device program (the engine is dispatch
+    -latency-bound; see module docstring); PESQ/STOI are host-side."""
+    from .fused import fused_device_metrics
+
     n = min(len(xest), len(xref))
     xest, xref = xest[:n], xref[:n]
-    sdr = bss_eval_sdr(xest, xref)
-    raw_snr = snr(xest, xref)
-    loc, glo = snrseg(xest, xref, fs)
+    sdr, raw_snr, loc, glo = fused_device_metrics(xest, xref, fs)
     pesq_mos = pesq_16k(xref, xest, fs, compute=compute_pesq)
     stoi_score = stoi(xref, xest, fs)
     return np.array([sdr, raw_snr, loc, glo, pesq_mos, stoi_score])

@@ -100,6 +100,22 @@ def test_stoi_identity_and_monotone(rng):
     assert clean_score >= s1 > s2
 
 
+def test_fused_device_metrics_match_individual(rng):
+    """The single-dispatch SDR+SNR+SegSNR program == the individual
+    kernels (the scoring engine's per-file dispatch-latency optimization)."""
+    from drnmf_tpu.metrics.fused import fused_device_metrics
+
+    s = _speechlike(rng, n=23000)
+    noise = 0.1 * rng.standard_normal(len(s)).astype(np.float32)
+    est = s + noise
+    sdr_f, snr_f, loc_f, glo_f = fused_device_metrics(est, s, 16000)
+    assert abs(sdr_f - bss_eval_sdr(est, s)) < 1e-3
+    assert abs(snr_f - snr(est, s)) < 1e-3
+    loc, glo = snrseg(est, s, 16000)
+    assert abs(loc_f - loc) < 1e-3
+    assert abs(glo_f - glo) < 1e-3
+
+
 def test_pesq_identity_and_monotone(rng):
     s = _speechlike(rng, n=32000)
     noise = rng.standard_normal(len(s)).astype(np.float32)
