@@ -46,18 +46,23 @@ _PEAK_TFLOPS = {
 
 def drnmf_forward_flops(config, batch, frames, n_fft=None):
     """Model FLOPs (2 * MACs) of one DR-NMF forward pass over a (batch,
-    frames, F) input: the K-layer scan's three matmuls per timestep plus the
+    frames, F) input: the K-layer scan's matmuls per timestep plus the
     two reconstruction heads, and optionally the matmul-DFT STFT+iSTFT when
-    ``n_fft`` is given (the enhance path).
+    ``n_fft`` is given (the enhance path).  When the frozen-U fold is active
+    (``fold_frozen_U`` with untrainable U -- every shipped reference config)
+    the K U matmuls do not execute and are not counted.
 
     Counted explicitly because XLA's HLO cost analysis does not multiply a
     ``lax.scan`` body by its trip count (it reports the per-step cost once,
     ~T times too low for this model)."""
+    from drnmf_tpu.models.drnmf import u_is_foldable
+
     h = config.hidden_dim  # 2r
     f = config.input_dim
     k = config.K_layers
+    folded = u_is_foldable(config) and not config.use_pallas
     per_frame = (
-        k * 2 * h * h          # h_prev @ U_k
+        (0 if folded else k * 2 * h * h)  # h_prev @ U_k (rank-1 when folded)
         + (k - 1) * 2 * h * h  # hidden_{k-1} @ S_k
         + k * 2 * f * h        # x_t @ W_k
         + 2 * 2 * (h // 2) * f  # exp-dense clean/noise heads

@@ -81,6 +81,15 @@ class DRNMFConfig:
     # max / 2.6e-5 mean on [0,1] masks -- far inside the 0.1 dB SDR parity
     # budget), 'highest' uses f32-equivalent multi-pass (~5x slower)
     matmul_precision: str = "default"
+    # When log_U1/log_Uk are NOT trainable (every shipped reference config:
+    # params_trainable is [log_D, log_alph], e.g.
+    # data_setup_downsample1/configs/params_unfolded_snmf_*.yaml:10) they
+    # stay frozen at their init values U1 = 1e-7*J + I, Uk = 1e-7*J
+    # (enhance.py:220-221 via the log(1e-7 + .) floor at :147).  Those are
+    # rank-one-structured, so the K per-step (B,2r)x(2r,2r) U matmuls --
+    # over half the recurrence FLOPs -- collapse to one row-sum.  Exact up
+    # to float reassociation; auto-disabled whenever U is trainable.
+    fold_frozen_U: bool = True
 
     @property
     def hidden_dim(self) -> int:
@@ -158,8 +167,46 @@ def drnmf_trainable_mask(config: DRNMFConfig, params: dict) -> dict:
     return {k: (k in trainable) for k in params}
 
 
-def _effective_matrices(params: dict, config: DRNMFConfig):
-    """Materialize per-layer U, S, W, b from the alt params (enhance.py:162-204)."""
+class FoldedU:
+    """Rank-one-structured frozen recurrence matrices (see
+    ``DRNMFConfig.fold_frozen_U``): U1 = off1*J + diag(diag1 - off1),
+    Uk = c*J, extracted from the actual stored params so the folded path
+    reproduces the exact float values the dense path would use."""
+
+    __slots__ = ("diag1", "off1", "c")
+
+    def __init__(self, diag1, off1, c):
+        self.diag1, self.off1, self.c = diag1, off1, c
+
+
+def u_is_foldable(config: DRNMFConfig) -> bool:
+    """True when the U matrices are frozen at their structured init values
+    (not trainable) and folding is enabled."""
+    return (config.fold_frozen_U
+            and "log_U1" not in config.params_trainable
+            and "log_Uk" not in config.params_trainable)
+
+
+def u_terms(U, h, K: int, prec):
+    """Per-layer U contributions [h @ U_k for k in range(K)] -- one row-sum
+    when U is a FoldedU, K dense matmuls otherwise.  For FoldedU:
+    (h @ U1)_j = off1*rowsum(h) + (diag1_j - off1)*h_j and
+    h @ Uk = c*rowsum(h) (broadcast), shared by all layers k > 1."""
+    if isinstance(U, FoldedU):
+        rs = jnp.sum(h, axis=-1, keepdims=True)
+        t1 = h * (U.diag1 - U.off1) + U.off1 * rs
+        tk = U.c * rs  # (B, 1), broadcasts against (B, 2r)
+        return [t1] + [tk] * (K - 1)
+    return [jnp.dot(h, U[k], precision=prec,
+                    preferred_element_type=jnp.float32) for k in range(K)]
+
+
+def _effective_matrices(params: dict, config: DRNMFConfig,
+                        fold_u: bool = False):
+    """Materialize per-layer U, S, W, b from the alt params (enhance.py:162-204).
+
+    With ``fold_u`` (and foldable U, see ``u_is_foldable``) U is returned as
+    a ``FoldedU`` instead of K dense (2r, 2r) matrices."""
     K = config.K_layers
     d_names = config.untied_names("log_D")
     a_names = config.untied_names("log_alph")
@@ -169,9 +216,23 @@ def _effective_matrices(params: dict, config: DRNMFConfig):
         d = jnp.exp(params[d_names[k]])
         return d / jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
 
-    U = [jnp.exp(params["log_U1"]).T] + [
-        jnp.exp(params["log_Uk"]).T for _ in range(K - 1)
-    ]
+    if fold_u and u_is_foldable(config):
+        # U1 = exp(log_U1)^T has constant off-diagonals and an arbitrary
+        # diagonal; Uk = exp(log_Uk)^T is a constant matrix.  Both patterns
+        # are symmetric, so the transpose is free.  stop_gradient: folding
+        # is only valid for FROZEN U, so U is a constant of the autodiff
+        # graph (log_U1/log_Uk receive exact-zero gradients instead of the
+        # dense path's dead, optimizer-masked values).
+        sg = jax.lax.stop_gradient
+        U = FoldedU(
+            diag1=sg(jnp.exp(jnp.diagonal(params["log_U1"]))),
+            off1=sg(jnp.exp(params["log_U1"][0, 1])),
+            c=sg(jnp.exp(params["log_Uk"][0, 0])),
+        )
+    else:
+        U = [jnp.exp(params["log_U1"]).T] + [
+            jnp.exp(params["log_Uk"]).T for _ in range(K - 1)
+        ]
     eye = jnp.eye(config.hidden_dim, dtype=jnp.float32)
     S = []
     for k in range(1, K):
@@ -200,7 +261,8 @@ def make_cell_step(config: DRNMFConfig, U, S, W, b):
     """One DR-NMF timestep honoring activation / connect_input_to_layers /
     matmul_precision -- the shared cell for the inference-path consumers
     (streaming, sequence-pipelined scan).  No dropout (inference) and no
-    return_all_hidden (callers consume the top layer).
+    return_all_hidden (callers consume the top layer).  ``U`` may be a
+    ``FoldedU`` (frozen rank-one recurrence, see ``fold_frozen_U``).
 
     step(h_prev (B, 2r), x_t (B, F)) -> hidden (B, 2r)."""
     act = _ACTIVATIONS[config.activation]
@@ -208,9 +270,9 @@ def make_cell_step(config: DRNMFConfig, U, S, W, b):
 
     def step(h_prev, x_t):
         hidden = None
+        u = u_terms(U, h_prev, config.K_layers, prec)
         for k in range(config.K_layers):
-            pre = jnp.dot(h_prev, U[k], precision=prec,
-                          preferred_element_type=jnp.float32)
+            pre = u[k]
             if k > 0:
                 pre = pre + jnp.dot(hidden, S[k - 1], precision=prec,
                                     preferred_element_type=jnp.float32)
@@ -242,7 +304,8 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
     Returns hidden states (B, T, 2r), or (B, T, K*2r) with
     ``return_all_hidden``."""
     K = config.K_layers
-    U, S, W, b = _effective_matrices(params, config)
+    U, S, W, b = _effective_matrices(params, config,
+                                     fold_u=not config.use_pallas)
     if config.nonnegative:
         h0 = jax.nn.softplus(params["log_h0"])
     else:
@@ -298,9 +361,9 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
         h_prev = carry[:, -config.hidden_dim:] if config.return_all_hidden else carry
         hidden = None
         outs = []
+        u = u_terms(U, h_prev * b_u, K, prec)
         for k in range(K):
-            pre = jnp.dot(h_prev * b_u, U[k], precision=prec,
-                          preferred_element_type=jnp.float32)
+            pre = u[k]
             if k > 0:
                 pre = pre + jnp.dot(hidden, S[k - 1], precision=prec,
                                     preferred_element_type=jnp.float32)

@@ -339,3 +339,59 @@ def test_remat_gradients_match(rng):
     for k in g0:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_frozen_u_fold_matches_dense(rng):
+    """fold_frozen_U: with log_U1/log_Uk frozen at init (every shipped
+    reference config, data_setup_downsample1/configs/*.yaml:10), the K
+    per-step U matmuls collapse to an exact rank-one form.  Parity is
+    checked under matmul_precision='highest' (f32-exact dense baseline;
+    under 'default' the DENSE path carries reduced-precision matmul noise
+    that the folded path does not)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from drnmf_tpu.models.drnmf import (
+        _scan_hidden, step_mask_from_input, u_is_foldable)
+
+    f, r, K = 11, 5, 3
+    w = make_dict(rng, f, 2 * r)
+    cfg = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                      alph=10.0, lam1=0.5,
+                      params_untied=("log_D", "log_alph"),
+                      params_trainable=("log_D", "log_alph"),
+                      matmul_precision="highest")
+    assert u_is_foldable(cfg)
+    cfg_dense = dataclasses.replace(cfg, fold_frozen_U=False)
+    p = init_drnmf_params(cfg, w)
+    x = rng.uniform(0, 2, (3, 25, f)).astype(np.float32)
+    x[1, 18:] = cfg.mask_value  # masked tail holds state in both paths
+    sm = step_mask_from_input(jnp.asarray(x), cfg.mask_value)
+
+    h_fold = _scan_hidden(p, cfg, jnp.asarray(x), sm)
+    h_dense = _scan_hidden(p, cfg_dense, jnp.asarray(x), sm)
+    np.testing.assert_allclose(np.asarray(h_fold), np.asarray(h_dense),
+                               rtol=1e-5, atol=1e-6)
+
+    # gradients of the params the optimizer trains are identical; the
+    # frozen U params get exact zeros from the folded path (stop_gradient)
+    def loss(p, cfg):
+        hs = _scan_hidden(p, cfg, jnp.asarray(x), sm)
+        return jnp.mean(hs ** 2)
+
+    g_fold = jax.grad(lambda p: loss(p, cfg))(p)
+    g_dense = jax.grad(lambda p: loss(p, cfg_dense))(p)
+    for k in g_dense:
+        if k in ("log_U1", "log_Uk"):
+            np.testing.assert_allclose(np.asarray(g_fold[k]), 0.0)
+            continue
+        np.testing.assert_allclose(np.asarray(g_fold[k]),
+                                   np.asarray(g_dense[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+    # trainable U disables the fold entirely (bitwise-identical dense path)
+    cfg_t = dataclasses.replace(cfg, params_trainable=(
+        "log_D", "log_alph", "log_U1", "log_Uk"))
+    assert not u_is_foldable(cfg_t)
+    h_t = _scan_hidden(p, cfg_t, jnp.asarray(x), sm)
+    assert np.array_equal(np.asarray(h_t), np.asarray(h_dense))
