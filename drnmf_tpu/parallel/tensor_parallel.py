@@ -8,7 +8,11 @@ the 2r axis Megatron-style:
 * the LARGE parameters (log_U1, log_Uk -- the only (2r, 2r) tensors) enter
   the sharded computation row-sharded and never exist in full on any device;
   their effective forms ``exp(.)^T`` are local transposes of the row shards
-  (a row shard of M is a column shard of M^T);
+  (a row shard of M is a column shard of M^T).  When the frozen-U fold
+  applies (models.drnmf ``fold_frozen_U``: U untrainable, every shipped
+  reference config) the U tensors are rank-one constants and are not
+  sharded, transferred, or materialized AT ALL -- only a (2r,) diagonal and
+  two scalars enter the mesh, and the per-step U matmuls become row-sums;
 * the S_k recurrence matrices ((2r, 2r), derived) are materialized ONLY as
   column shards, each built locally from the replicated dictionary D-hat
   (which is (F, 2r) -- small, 33 MB even at r=16k):
@@ -33,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.drnmf import _ACTIVATIONS, _precision
+from ..models.drnmf import _ACTIVATIONS, _precision, u_is_foldable
 from ._cache import CompiledCache
 
 # (config, axis, shapes, device ids) -> jitted shard_map; LRU-bounded so a
@@ -83,16 +87,34 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
     else:
         h0 = params["h0"]
 
-    def local(log_u1_loc, log_uk_loc, dh, alph, b_full, x_loc, m_loc, h0_loc):
-        # log_u1_loc/log_uk_loc: (2r/P, 2r) ROW shards of the only big
-        # tensors; everything else replicated
+    # frozen-U fold (models.drnmf fold_frozen_U): the (2r, 2r) U tensors are
+    # rank-one-structured constants, so they are never sharded, transferred,
+    # or materialized -- only diag1 (2r,) and two scalars enter the mesh.
+    # The rank-one form needs rowsum(h_prev), which is local here because
+    # the gathered carry holds the FULL hidden state on every device.
+    folded = u_is_foldable(config)
+    if folded:
+        sg = jax.lax.stop_gradient
+        u_a = sg(jnp.exp(jnp.diagonal(params["log_U1"])))  # (2r,)
+        u_b = sg(jnp.stack([jnp.exp(params["log_U1"][0, 1]),
+                            jnp.exp(params["log_Uk"][0, 0])]))  # off1, c
+        u_specs = (P(), P())
+    else:
+        u_a, u_b = params["log_U1"], params["log_Uk"]
+        u_specs = (P(axis_name, None), P(axis_name, None))  # row shards
+
+    def local(u_a, u_b, dh, alph, b_full, x_loc, m_loc, h0_loc):
+        # dense mode: u_a/u_b are (2r/P, 2r) ROW shards of the only big
+        # tensors; folded mode: u_a = diag1 (2r,), u_b = [off1, c];
+        # everything else replicated
         p = jax.lax.axis_index(axis_name)
         start = p * blk
         bsz = x_loc.shape[0]
 
-        # effective column shards, built locally (never full anywhere):
-        u1_loc = jnp.exp(log_u1_loc).T       # (2r, 2r/P)
-        uk_loc = jnp.exp(log_uk_loc).T
+        if not folded:
+            # effective column shards, built locally (never full anywhere):
+            u1_loc = jnp.exp(u_a).T       # (2r, 2r/P)
+            uk_loc = jnp.exp(u_b).T
         rows = start + jnp.arange(blk)
         eye_rows = (
             rows[:, None]
@@ -123,10 +145,19 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
         def step(h_prev, inp):
             x_t, m_t = inp
             hidden = None
+            if folded:
+                diag_blk = jax.lax.dynamic_slice_in_dim(u_a, start, blk, 0)
+                h_blk = jax.lax.dynamic_slice_in_dim(h_prev, start, blk, 1)
+                rs = jnp.sum(h_prev, axis=1, keepdims=True)
+                u_first = h_blk * (diag_blk - u_b[0]) + u_b[0] * rs
+                u_rest = u_b[1] * rs  # (B, 1), broadcasts against (B, blk)
             for k in range(K):
-                u = u1_loc if k == 0 else uk_loc
-                pre = jnp.dot(h_prev, u, precision=prec,
-                              preferred_element_type=jnp.float32)
+                if folded:
+                    pre = u_first if k == 0 else u_rest
+                else:
+                    pre = jnp.dot(h_prev, u1_loc if k == 0 else uk_loc,
+                                  precision=prec,
+                                  preferred_element_type=jnp.float32)
                 if k > 0:
                     pre = pre + jnp.dot(hidden, s_locs[k - 1], precision=prec,
                                         preferred_element_type=jnp.float32)
@@ -155,8 +186,7 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
             local,
             mesh=mesh,
             in_specs=(
-                P(axis_name, None),  # log_U1 row shards
-                P(axis_name, None),  # log_Uk row shards
+                *u_specs,            # U row shards, or folded diag+scalars
                 P(), P(), P(),       # Dhat stack, alph stack, b stack (small)
                 P(), P(), P(),       # x, mask, h0 replicated
             ),
@@ -170,8 +200,7 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
         _COMPILED.put(cache_key, fn)
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     return fn(
-        put(params["log_U1"], P(axis_name, None)),
-        put(params["log_Uk"], P(axis_name, None)),
+        put(u_a, u_specs[0]), put(u_b, u_specs[1]),
         put(dh_stack, P()), put(alph_stack, P()), put(b_stack, P()),
         put(x, P()), put(step_mask, P()), put(h0, P()),
     )
@@ -233,8 +262,19 @@ def drnmf_scan_tp_train(params, config, x, step_mask, mesh, axis_name="tp"):
             cols = jax.lax.dynamic_slice_in_dim(mat_exp, start, blk, axis=1)
             return cols.T  # (blk, 2r)
 
-        u1_seg = seg(jnp.exp(params_loc["log_U1"]))
-        uk_seg = seg(jnp.exp(params_loc["log_Uk"]))
+        # frozen-U fold (models.drnmf fold_frozen_U): U is a rank-one
+        # stop_gradient constant; its contribution is computed locally from
+        # the replicated full h_prev (no psum share) -- layer 1 then needs
+        # no collective at all.
+        folded = u_is_foldable(config)
+        if folded:
+            sg = jax.lax.stop_gradient
+            u_diag1 = sg(jnp.exp(jnp.diagonal(params_loc["log_U1"])))
+            u_off1 = sg(jnp.exp(params_loc["log_U1"][0, 1]))
+            u_c = sg(jnp.exp(params_loc["log_Uk"][0, 0]))
+        else:
+            u1_seg = seg(jnp.exp(params_loc["log_U1"]))
+            uk_seg = seg(jnp.exp(params_loc["log_Uk"]))
 
         s_segs, w_parts, b_full = [], [], []
         for k in range(K):
@@ -267,18 +307,33 @@ def drnmf_scan_tp_train(params, config, x, step_mask, mesh, axis_name="tp"):
         def step(h_prev, inp):
             x_t, m_t = inp
             hidden = None
+            if folded:
+                rs = jnp.sum(h_prev, axis=1, keepdims=True)
+                u_first = h_prev * (u_diag1 - u_off1) + u_off1 * rs  # (B, 2r)
+                u_rest = u_c * rs  # (B, 1)
             for k in range(K):
-                useg = u1_seg if k == 0 else uk_seg
-                h_seg = jax.lax.dynamic_slice_in_dim(h_prev, start, blk, axis=1)
-                part = jnp.dot(h_seg, useg, precision=prec,
-                               preferred_element_type=jnp.float32)
-                if k > 0:
-                    hid_seg = jax.lax.dynamic_slice_in_dim(
-                        hidden, start, blk, axis=1)
-                    part = part + jnp.dot(hid_seg, s_segs[k - 1],
-                                          precision=prec,
-                                          preferred_element_type=jnp.float32)
-                pre = jax.lax.psum(part, axis_name)
+                if folded:
+                    pre = u_first if k == 0 else u_rest
+                    if k > 0:
+                        hid_seg = jax.lax.dynamic_slice_in_dim(
+                            hidden, start, blk, axis=1)
+                        pre = pre + jax.lax.psum(
+                            jnp.dot(hid_seg, s_segs[k - 1], precision=prec,
+                                    preferred_element_type=jnp.float32),
+                            axis_name)
+                else:
+                    useg = u1_seg if k == 0 else uk_seg
+                    h_seg = jax.lax.dynamic_slice_in_dim(
+                        h_prev, start, blk, axis=1)
+                    part = jnp.dot(h_seg, useg, precision=prec,
+                                   preferred_element_type=jnp.float32)
+                    if k > 0:
+                        hid_seg = jax.lax.dynamic_slice_in_dim(
+                            hidden, start, blk, axis=1)
+                        part = part + jnp.dot(hid_seg, s_segs[k - 1],
+                                              precision=prec,
+                                              preferred_element_type=jnp.float32)
+                    pre = jax.lax.psum(part, axis_name)
                 if config.connect_input_to_layers:
                     pre = pre + jnp.dot(x_t, w_parts[k], precision=prec,
                                         preferred_element_type=jnp.float32)

@@ -301,3 +301,50 @@ def test_tensor_parallel_train_scan_grad_parity(rng):
             continue
         np.testing.assert_allclose(np.asarray(g_tp[k]), np.asarray(g_ref[k]),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_tensor_parallel_dense_u_branch(rng):
+    """With trainable U the fold is disabled: both TP formulations take the
+    dense row-sharded-U branch and still match the single-device scan
+    (forward AND gradients, including real log_U1/log_Uk grads)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import (
+        _scan_hidden, step_mask_from_input, u_is_foldable)
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel.tensor_parallel import (
+        drnmf_scan_tp, drnmf_scan_tp_train)
+
+    f, r, K = 9, 8, 2
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                         params_untied=("log_D", "log_alph"),
+                         params_trainable=("log_D", "log_alph",
+                                           "log_U1", "log_Uk"))
+    assert not u_is_foldable(config)
+    params = init_drnmf_params(config, w)
+    # move U off its structured init so the dense path is actually exercised
+    key = jax.random.PRNGKey(3)
+    params["log_U1"] = params["log_U1"] + 0.01 * jax.random.normal(
+        key, params["log_U1"].shape)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 6, f)).astype(np.float32))
+    sm = step_mask_from_input(x, config.mask_value)
+    mesh = make_mesh(8, axis_name="tp")
+
+    ref = np.asarray(_scan_hidden(params, config, x, sm))
+    out = np.asarray(drnmf_scan_tp(params, config, x, sm, mesh))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    out_t = np.asarray(drnmf_scan_tp_train(params, config, x, sm, mesh))
+    np.testing.assert_allclose(out_t, ref, rtol=1e-5, atol=1e-6)
+
+    g_tp = jax.grad(lambda p: jnp.mean(
+        drnmf_scan_tp_train(p, config, x, sm, mesh) ** 2))(params)
+    g_ref = jax.grad(lambda p: jnp.mean(
+        _scan_hidden(p, config, x, sm) ** 2))(params)
+    assert float(np.abs(np.asarray(g_ref["log_U1"])).max()) > 0
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_tp[k]), np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6)
