@@ -93,9 +93,10 @@ def main():
 
     fs = 16000
     n_fft, hop = 512, 128
-    # B=128 fills the MXU's 128-row systolic dimension (measured 4x the
-    # per-audio-second throughput of B=32 on v5e); 1024 s of audio per step
-    batch, seconds = 128, 8.0
+    # B=256: two full 128-row MXU passes per op amortize the folded scan's
+    # per-step overhead (measured on v5e post frozen-U fold: 19.3k RTF at
+    # B=128, 22.0k at B=256, 20.7k at B=512); 2048 s of audio per step
+    batch, seconds = 256, 8.0
     nsampl = int(fs * seconds)
 
     config = DRNMFConfig(
