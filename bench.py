@@ -261,8 +261,6 @@ def bench_score():
     and (b) the bucketed batched device path for SDR+SegSNR with
     PESQ/STOI/SNR on the host pool."""
     from drnmf_tpu.metrics.scoring import _score_pair
-    from drnmf_tpu.metrics.bss_eval import bss_eval_sdr_many
-    from drnmf_tpu.metrics.snr import snrseg_batch
     from concurrent.futures import ThreadPoolExecutor
 
     fs = 16000
@@ -289,56 +287,46 @@ def bench_score():
             out.extend(pool.map(job, pairs[1:]))
         return np.stack(out)
 
-    def batched():
-        # device: bucketed batch SDR + batch SegSNR; host pool: SNR/PESQ/STOI
-        ests = [p[0] for p in pairs]
-        refs = [p[1] for p in pairs]
-        sdr = bss_eval_sdr_many(ests, refs)
-        t_pad = max(len(e) for e in ests)
-        ep = np.zeros((n_files, t_pad), np.float32)
-        rp = np.zeros((n_files, t_pad), np.float32)
-        lens = np.zeros(n_files, np.int32)
-        for i, (e, r) in enumerate(pairs):
-            ep[i, : len(e)] = e
-            rp[i, : len(r)] = r
-            lens[i] = len(e)
-        loc, glo = snrseg_batch(ep, rp, lens, fs)
-
-        from drnmf_tpu.metrics.snr import snr as snr_fn
+    def packed():
+        # device: packed-transfer fused SDR+SNR+SegSNR per pow2 bucket
+        # (metrics.fused.fused_metrics_packed); host pool overlapped:
+        # PESQ/STOI
+        from drnmf_tpu.metrics.fused import fused_metrics_packed
         from drnmf_tpu.metrics.pesq import pesq_16k
         from drnmf_tpu.metrics.stoi import stoi as stoi_fn
 
-        def host_job(p):
-            return (snr_fn(p[0], p[1]), pesq_16k(p[1], p[0], fs),
-                    stoi_fn(p[1], p[0], fs))
+        ests = [p[0] for p in pairs]
+        refs = [p[1] for p in pairs]
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            host = list(pool.map(host_job, pairs))
+        def host_job(p):
+            return (pesq_16k(p[1], p[0], fs), stoi_fn(p[1], p[0], fs))
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            host_futs = [pool.submit(host_job, p) for p in pairs]
+            dev = fused_metrics_packed(ests, refs, fs)
+            host = [f.result() for f in host_futs]
         S = np.zeros((n_files, 6))
-        S[:, 0] = np.asarray(sdr)
-        S[:, 1] = [h[0] for h in host]
-        S[:, 2] = np.asarray(loc)
-        S[:, 3] = np.asarray(glo)
-        S[:, 4] = [h[1] for h in host]
-        S[:, 5] = [h[2] for h in host]
+        S[:, :4] = dev
+        S[:, 4] = [h[0] for h in host]
+        S[:, 5] = [h[1] for h in host]
         return S
 
     results = {}
-    for name, fn in (("per_file", per_file), ("batched", batched)):
+    for name, fn in (("per_file", per_file), ("packed", packed)):
         fn()  # warm compile caches
         t0 = time.perf_counter()
         S = fn()
         results[name] = (audio_seconds / (time.perf_counter() - t0), S)
 
     rtf_pf, S_pf = results["per_file"]
-    rtf_b, S_b = results["batched"]
+    rtf_b, S_b = results["packed"]
     agree = float(np.max(np.abs(S_pf - S_b)))
     print(json.dumps({
         "metric": "scoring_rtf_per_chip",
         "value": round(max(rtf_pf, rtf_b), 2),
         "unit": "x_realtime",
         "per_file_rtf": round(rtf_pf, 2),
-        "batched_rtf": round(rtf_b, 2),
+        "packed_rtf": round(rtf_b, 2),
         "max_abs_path_disagreement": round(agree, 4),
     }))
 

@@ -61,3 +61,89 @@ def fused_device_metrics(est, ref, fs: int = 16000, flen: int = FLEN,
     if not np.isfinite(sdr):
         sdr = bss_eval_sdr(est, ref, flen=flen)
     return sdr, float(raw_snr), float(loc), float(glo)
+
+
+def _unpack(concat, offsets, lengths, nfft):
+    """(B, nfft) zero-padded rows from a packed 1-D concat buffer."""
+    idx = offsets[:, None] + jnp.arange(nfft)[None, :]
+    rows = jnp.take(concat, jnp.clip(idx, 0, concat.shape[0] - 1))
+    valid = jnp.arange(nfft)[None, :] < lengths[:, None]
+    return jnp.where(valid, rows, 0.0)
+
+
+@partial(jax.jit, static_argnames=("nfft", "flen", "frame_len"))
+def _fused_packed(est_c, ref_c, offsets, lengths, ridge,
+                  nfft, flen, frame_len):
+    se = _unpack(est_c, offsets, lengths, nfft)
+    s = _unpack(ref_c, offsets, lengths, nfft)
+    fn = jax.vmap(lambda a, b, n: _fused_padded(
+        a, b, n, ridge, flen=flen, frame_len=frame_len))
+    return fn(se, s, lengths)
+
+
+def fused_metrics_packed(est_list, ref_list, fs: int = 16000,
+                         flen: int = FLEN, tf: float = 0.01):
+    """(n_files, 4) [SDR, SNR, SegSNR local, SegSNR global] for many pairs.
+
+    Packed-transfer batched variant of :func:`fused_device_metrics`: per
+    power-of-two FFT bucket, the truncated signals cross the host->device
+    boundary as ONE 1-D concatenation each (exact bytes -- none of the
+    padded-batch transfer inflation that made ``bss_eval_sdr_many`` lose to
+    the per-file pool behind the axon tunnel), are unpacked into padded rows
+    ON DEVICE, and all four metrics for the whole bucket run as one vmapped
+    program.  Rare non-finite SDRs (rank-deficient references) are retried
+    per file with the escalating ridge."""
+    n_files = len(est_list)
+    out = np.zeros((n_files, 4), np.float64)
+    frame_len = int(round(tf * fs))
+    buckets = {}
+    lens = np.zeros(n_files, np.int64)
+    for i, (se, s) in enumerate(zip(est_list, ref_list)):
+        lens[i] = min(len(se), len(s))
+        buckets.setdefault(_next_pow2(lens[i] + flen), []).append(i)
+
+    work = []  # (nfft, rows, device args, need mask)
+    for nfft, idxs in sorted(buckets.items()):
+        offsets = np.zeros(len(idxs), np.int64)
+        pos = 0
+        for row, i in enumerate(idxs):
+            offsets[row] = pos
+            pos += lens[i]
+        est_c = np.empty(pos + 1, np.float32)  # +1: clip-gather guard row
+        ref_c = np.empty(pos + 1, np.float32)
+        est_c[-1] = ref_c[-1] = 0.0
+        for row, i in enumerate(idxs):
+            o, n = offsets[row], lens[i]
+            est_c[o : o + n] = np.asarray(est_list[i][:n], np.float32)
+            ref_c[o : o + n] = np.asarray(ref_list[i][:n], np.float32)
+        args = (jnp.asarray(est_c), jnp.asarray(ref_c),
+                jnp.asarray(offsets), jnp.asarray(lens[idxs], np.int32))
+        work.append([nfft, np.asarray(idxs), args, np.ones(len(idxs), bool)])
+
+    # Ridge escalation at BUCKET granularity: rank-deficient (e.g.
+    # near-periodic) references yield non-finite SDR at the small ridge;
+    # re-running a whole bucket's batched program (~0.2 s / 43 files on
+    # v5e) is far cheaper than falling back per file.  Each file keeps the
+    # value from the FIRST ridge where its solve is finite -- identical
+    # semantics (and measured bit-identical values) to the per-file
+    # escalation in fused_device_metrics / bss_eval_sdr.  Per escalation
+    # round, every bucket's program is DISPATCHED before any result is
+    # fetched, so device work pipelines (and overlaps the caller's host
+    # -side PESQ/STOI threads in the scoring engine).
+    for ridge in (1e-7, 1e-5, 1e-3):
+        pending = [
+            (w, _fused_packed(*w[2], jnp.float32(ridge), nfft=w[0],
+                              flen=flen, frame_len=frame_len))
+            for w in work if w[3].any()
+        ]
+        if not pending:
+            break
+        for w, res in pending:
+            vals = np.asarray(res).T  # (B, 4)
+            need = w[3]
+            newly = need & np.isfinite(vals[:, 0])
+            out[w[1][newly]] = vals[newly]
+            need &= ~newly
+            if need.any() and ridge == 1e-3:  # keep the largest-ridge value
+                out[w[1][need]] = vals[need]
+    return out

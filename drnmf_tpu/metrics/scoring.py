@@ -9,15 +9,18 @@ reference driver (enhance.py:1396-1433 sums raw scores over SNR buckets and
 divides by the total file count).
 
 Parallelism: where the reference used MATLAB ``parfor`` over files
-(score_audio.m:72-98), here the per-file heavy kernels (SDR solve, STOI
-band correlations) are jit'd JAX programs and files stream through them;
-a thread pool overlaps wav decode, host metrics (PESQ) and device dispatch
-latency.  Measured on v5e behind the axon tunnel (64 files, 224 audio-s;
-``bench.py --score``): 8 workers = 66x RT vs 43x at 4 (plateau above 8 --
-device serialization); the fully batched device path
-(``bss_eval_sdr_many`` + ``snrseg_batch``) measured SLOWER (25x RT) because
-pow2 FFT padding and large padded-batch host->device transfers outweigh
-the dispatch savings, so the per-file pool stays the engine.
+(score_audio.m:72-98), here the engine is PACKED-BATCHED: the device-side
+metrics (SDR/SNR/SegSNR) for each pow2-length bucket of files cross the
+host<->device boundary as one exact-bytes packed transfer and run as one
+batched program (``fused.fused_metrics_packed``), overlapped with a host
+thread pool computing PESQ/STOI.  Measured on v5e behind the axon tunnel
+(64 files, 224 audio-s; ``bench.py --score``): 85x RT vs the per-file
+pool's 61x, bit-identical scores.  (History: naive padded-batch device
+paths -- ``bss_eval_sdr_many`` + ``snrseg_batch`` with padded host->device
+transfers -- measured SLOWER than the per-file pool, 25-48x; exact-bytes
+packing + device-side unpacking + bucket-level ridge escalation is what
+made batching win.)  Per-file streaming remains for mixed-fs lists and
+the no-native-loader path.
 """
 
 import os
@@ -73,9 +76,16 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
     if native_available() and len(pairs) > 1:
         # decode ALL files through the multithreaded C++ batch loader (the
         # TPU-era replacement for MATLAB's parfor worker pool,
-        # score_audio.m:72-98), then stream pairs through the jit'd metric
-        # kernels
+        # score_audio.m:72-98), then run the PACKED engine: the device-side
+        # metrics (SDR/SNR/SegSNR) for every pow2-length bucket cross the
+        # host<->device boundary as ONE packed transfer + one batched
+        # program per bucket (fused.fused_metrics_packed), dispatched
+        # concurrently with a host thread pool computing PESQ/STOI.
+        # Measured on v5e behind the axon tunnel (bench.py --score,
+        # 64 files): 85x RT vs the per-file pool's 61x, bit-identical
+        # scores.
         from ..data.native_loader import read_batch, wav_info
+        from .fused import fused_metrics_packed
 
         enh_data, enh_len = read_batch(list(enhanced_files))
         ref_data, ref_len = read_batch(list(reference_files))
@@ -89,15 +99,37 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
                     f"fs mismatch: {fe} vs {fr} for {enhanced_files[i]}"
                 )
 
-        def job(i):
-            return _score_pair(
-                enh_data[i, : enh_len[i]], ref_data[i, : ref_len[i]],
-                fs_ref[i], compute_pesq=compute_pesq,
-            )
+        ests = [enh_data[i, : enh_len[i]] for i in range(len(pairs))]
+        refs = [ref_data[i, : ref_len[i]] for i in range(len(pairs))]
 
-        scores = [job(0)]  # warm the jit caches
-        with ThreadPoolExecutor(max_workers=n_workers) as pool:
-            scores.extend(pool.map(job, range(1, len(pairs))))
+        if len(set(fs_ref)) == 1:
+            def host_job(i):
+                n = min(len(ests[i]), len(refs[i]))
+                e, r = ests[i][:n], refs[i][:n]
+                return (pesq_16k(r, e, fs_ref[i], compute=compute_pesq),
+                        stoi(r, e, fs_ref[i]))
+
+            host_job(0)  # warm the jit caches before the pool fans out
+            with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                host_futs = [pool.submit(host_job, i)
+                             for i in range(len(pairs))]
+                dev = fused_metrics_packed(ests, refs, fs_ref[0])
+                host = [f.result() for f in host_futs]
+            S = np.zeros((len(pairs), 6))
+            S[:, :4] = dev
+            S[:, 4] = [h[0] for h in host]
+            S[:, 5] = [h[1] for h in host]
+            scores = list(S)
+        else:
+            # mixed sample rates: SegSNR frame length differs per file, so
+            # stream pairs through the per-file fused kernels instead
+            def job(i):
+                return _score_pair(ests[i], refs[i], fs_ref[i],
+                                   compute_pesq=compute_pesq)
+
+            scores = [job(0)]  # warm the jit caches
+            with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                scores.extend(pool.map(job, range(1, len(pairs))))
     else:
         def job(pair):
             return compute_scores(pair[0], pair[1], compute_pesq=compute_pesq)

@@ -257,3 +257,33 @@ def test_pesq_snr_anchor_curve(rng):
         assert mos > prev  # monotone in SNR
         prev = mos
     assert pesq_16k(x, x) > 4.3  # clean ~= 4.4-4.5
+
+
+def test_fused_metrics_packed_matches_per_file(rng):
+    """Packed-transfer batched device metrics == per-file fused metrics,
+    including files whose near-periodic references need the escalating
+    Toeplitz ridge (the packed path escalates at bucket granularity) and
+    lengths spanning multiple pow2 FFT buckets."""
+    import numpy as np
+    from drnmf_tpu.metrics.fused import (
+        fused_device_metrics, fused_metrics_packed)
+
+    fs = 16000
+    pairs = []
+    for i in range(7):
+        n = int(fs * (0.3 + 0.35 * i))  # spans several pow2 buckets
+        t = np.arange(n) / fs
+        if i % 2 == 0:
+            # pure-ish sine: rank-deficient reference -> ridge escalation
+            ref = (0.1 * np.sin(2 * np.pi * (100 + 20 * i) * t)).astype(
+                np.float32)
+        else:
+            ref = (0.05 * rng.standard_normal(n)).astype(np.float32)
+        est = ref + 0.01 * rng.standard_normal(n).astype(np.float32)
+        pairs.append((est, ref))
+
+    per_file = np.array([fused_device_metrics(e, r, fs) for e, r in pairs])
+    packed = fused_metrics_packed([p[0] for p in pairs],
+                                  [p[1] for p in pairs], fs)
+    assert np.all(np.isfinite(packed))
+    np.testing.assert_allclose(packed, per_file, rtol=1e-4, atol=1e-3)
