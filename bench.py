@@ -288,27 +288,26 @@ def bench_score():
         return np.stack(out)
 
     def packed():
-        # device: packed-transfer fused SDR+SNR+SegSNR per pow2 bucket
-        # (metrics.fused.fused_metrics_packed); host pool overlapped:
-        # PESQ/STOI
+        # device: packed-transfer fused SDR+SNR+SegSNR and packed STOI per
+        # pow2 bucket; host pool overlapped: PESQ + STOI host stage
         from drnmf_tpu.metrics.fused import fused_metrics_packed
         from drnmf_tpu.metrics.pesq import pesq_16k
-        from drnmf_tpu.metrics.stoi import stoi as stoi_fn
+        from drnmf_tpu.metrics.stoi import stoi_packed
 
         ests = [p[0] for p in pairs]
         refs = [p[1] for p in pairs]
 
-        def host_job(p):
-            return (pesq_16k(p[1], p[0], fs), stoi_fn(p[1], p[0], fs))
-
         with ThreadPoolExecutor(max_workers=8) as pool:
-            host_futs = [pool.submit(host_job, p) for p in pairs]
-            dev = fused_metrics_packed(ests, refs, fs)
-            host = [f.result() for f in host_futs]
+            pesq_futs = [pool.submit(pesq_16k, p[1], p[0], fs)
+                         for p in pairs]
+            fused_fut = pool.submit(fused_metrics_packed, ests, refs, fs)
+            stoi_vals = stoi_packed(refs, ests, fs, pool=pool)
+            dev = fused_fut.result()
+            pesq_vals = [f.result() for f in pesq_futs]
         S = np.zeros((n_files, 6))
         S[:, :4] = dev
-        S[:, 4] = [h[0] for h in host]
-        S[:, 5] = [h[1] for h in host]
+        S[:, 4] = pesq_vals
+        S[:, 5] = stoi_vals
         return S
 
     results = {}

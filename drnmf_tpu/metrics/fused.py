@@ -123,13 +123,14 @@ def fused_metrics_packed(est_list, ref_list, fs: int = 16000,
     # Ridge escalation at BUCKET granularity: rank-deficient (e.g.
     # near-periodic) references yield non-finite SDR at the small ridge;
     # re-running a whole bucket's batched program (~0.2 s / 43 files on
-    # v5e) is far cheaper than falling back per file.  Each file keeps the
-    # value from the FIRST ridge where its solve is finite -- identical
-    # semantics (and measured bit-identical values) to the per-file
-    # escalation in fused_device_metrics / bss_eval_sdr.  Per escalation
-    # round, every bucket's program is DISPATCHED before any result is
-    # fetched, so device work pipelines (and overlaps the caller's host
-    # -side PESQ/STOI threads in the scoring engine).
+    # v5e) is far cheaper than falling back per file (a per-file retry
+    # loop measured 12 s / 64 files).  Each file keeps the value from the
+    # FIRST ridge where its solve is finite -- identical semantics (and
+    # measured bit-identical values) to the per-file escalation in
+    # fused_device_metrics / bss_eval_sdr.  Per escalation round, every
+    # bucket's program is DISPATCHED before any result is fetched, so
+    # device work pipelines; on well-conditioned (real speech) references
+    # the first round is the only one, so no extra device work is done.
     for ridge in (1e-7, 1e-5, 1e-3):
         pending = [
             (w, _fused_packed(*w[2], jnp.float32(ridge), nfft=w[0],

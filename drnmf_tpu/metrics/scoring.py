@@ -14,8 +14,9 @@ metrics (SDR/SNR/SegSNR) for each pow2-length bucket of files cross the
 host<->device boundary as one exact-bytes packed transfer and run as one
 batched program (``fused.fused_metrics_packed``), overlapped with a host
 thread pool computing PESQ/STOI.  Measured on v5e behind the axon tunnel
-(64 files, 224 audio-s; ``bench.py --score``): 85x RT vs the per-file
-pool's 61x, bit-identical scores.  (History: naive padded-batch device
+(64 files, 224 audio-s; ``bench.py --score``): 68-92x RT vs the per-file
+pool's 42-66x (35-60% faster within any single A/B), bit-identical
+scores.  (History: naive padded-batch device
 paths -- ``bss_eval_sdr_many`` + ``snrseg_batch`` with padded host->device
 transfers -- measured SLOWER than the per-file pool, 25-48x; exact-bytes
 packing + device-side unpacking + bucket-level ridge escalation is what
@@ -82,7 +83,7 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
         # program per bucket (fused.fused_metrics_packed), dispatched
         # concurrently with a host thread pool computing PESQ/STOI.
         # Measured on v5e behind the axon tunnel (bench.py --score,
-        # 64 files): 85x RT vs the per-file pool's 61x, bit-identical
+        # 64 files): 35-60% faster than the per-file pool, bit-identical
         # scores.
         from ..data.native_loader import read_batch, wav_info
         from .fused import fused_metrics_packed
@@ -103,22 +104,29 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
         refs = [ref_data[i, : ref_len[i]] for i in range(len(pairs))]
 
         if len(set(fs_ref)) == 1:
-            def host_job(i):
-                n = min(len(ests[i]), len(refs[i]))
-                e, r = ests[i][:n], refs[i][:n]
-                return (pesq_16k(r, e, fs_ref[i], compute=compute_pesq),
-                        stoi(r, e, fs_ref[i]))
+            from .stoi import stoi_packed
 
-            host_job(0)  # warm the jit caches before the pool fans out
+            def pesq_job(i):
+                n = min(len(ests[i]), len(refs[i]))
+                return pesq_16k(refs[i][:n], ests[i][:n], fs_ref[i],
+                                compute=compute_pesq)
+
             with ThreadPoolExecutor(max_workers=n_workers) as pool:
-                host_futs = [pool.submit(host_job, i)
+                pesq_futs = [pool.submit(pesq_job, i)
                              for i in range(len(pairs))]
-                dev = fused_metrics_packed(ests, refs, fs_ref[0])
-                host = [f.result() for f in host_futs]
+                # the fused SDR/SNR/SegSNR engine runs on its own worker so
+                # its device programs overlap the STOI host stage below
+                fused_fut = pool.submit(
+                    fused_metrics_packed, ests, refs, fs_ref[0])
+                # STOI: host stage (resample + silent-frame removal) fans
+                # out on the same pool, device stage is packed per bucket
+                stoi_vals = stoi_packed(refs, ests, fs_ref[0], pool=pool)
+                dev = fused_fut.result()
+                pesq_vals = [f.result() for f in pesq_futs]
             S = np.zeros((len(pairs), 6))
             S[:, :4] = dev
-            S[:, 4] = [h[0] for h in host]
-            S[:, 5] = [h[1] for h in host]
+            S[:, 4] = pesq_vals
+            S[:, 5] = stoi_vals
             scores = list(S)
         else:
             # mixed sample rates: SegSNR frame length differs per file, so

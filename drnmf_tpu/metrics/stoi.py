@@ -121,8 +121,10 @@ def _stoi_from_envelopes(xb, yb, m_valid):
     return jnp.sum(seg_means * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
-def stoi(ref, est, fs: int = 16000) -> float:
-    """STOI score in [~0, 1].  ``ref`` is the clean signal."""
+def _host_stage(ref, est, fs):
+    """Data-dependent host preprocessing shared by the per-file and packed
+    paths: truncate to common length, resample to 10 kHz, remove silent
+    frames.  Returns (ref_sig, est_sig, m frames)."""
     ref = np.asarray(ref, np.float64).ravel()
     est = np.asarray(est, np.float64).ravel()
     n = min(len(ref), len(est))
@@ -133,12 +135,18 @@ def stoi(ref, est, fs: int = 16000) -> float:
     ref, est = _remove_silent_frames(
         ref.astype(np.float32), est.astype(np.float32)
     )
+    m = (len(ref) - FRAME) // HOP + 1 if len(ref) >= FRAME else 0
+    return ref, est, m
+
+
+def stoi(ref, est, fs: int = 16000) -> float:
+    """STOI score in [~0, 1].  ``ref`` is the clean signal."""
+    ref, est, m = _host_stage(ref, est, fs)
+    if m < SEG_FRAMES:
+        return float("nan")
     w = np.hanning(FRAME + 2)[1:-1].astype(np.float32)
     xf = _frames(ref) * w
     yf = _frames(est) * w
-    m = xf.shape[0]
-    if m < SEG_FRAMES:
-        return float("nan")
     # frame-count power-of-two buckets: O(log n) compiled programs per
     # corpus instead of one per distinct utterance length
     m_pad = 1 << max(int(m - 1).bit_length(), 5)
@@ -147,3 +155,95 @@ def stoi(ref, est, fs: int = 16000) -> float:
     xb = _band_envelopes(jnp.asarray(xf))
     yb = _band_envelopes(jnp.asarray(yf))
     return float(_stoi_from_envelopes(xb, yb, jnp.int32(m)))
+
+
+from functools import partial  # noqa: E402  (grouped with the packed path)
+
+
+@partial(jax.jit, static_argnames=("m_pad",))
+def _stoi_packed_dev(ref_c, est_c, offsets, n_samples, m_valid, m_pad):
+    """Packed device stage: (B,) STOI scores from 1-D concat signal buffers.
+
+    Frames are built ON DEVICE by the hop-block reshape trick (FRAME =
+    2*HOP), so the host->device transfer is the exact silent-removed
+    signal bytes -- no 2x framing overlap, no pad inflation.  The segment
+    correlations materialize one explicit (B, N_BANDS, n_seg, SEG_FRAMES)
+    window tensor via a single structured gather instead of the per-file
+    path's n_seg dynamic slices (which explode compile time when batched)."""
+    from .fused import _unpack
+
+    L = (m_pad + 1) * HOP  # holds FRAME + (m_pad-1)*HOP samples
+    w = jnp.asarray(np.hanning(FRAME + 2)[1:-1].astype(np.float32))
+
+    def envelopes(concat):
+        rows = _unpack(concat, offsets, n_samples, L)  # (B, L)
+        blocks = rows.reshape(rows.shape[0], -1, HOP)
+        fr = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=-1)
+        spec = jnp.fft.rfft(fr * w, n=N_FFT, axis=-1)  # (B, m_pad, F)
+        power = jnp.abs(spec) ** 2
+        bands = jnp.sqrt(jnp.einsum(
+            "bmf,nf->bnm", power, jnp.asarray(_H_BANDS),
+            preferred_element_type=jnp.float32))
+        return bands  # (B, N_BANDS, m_pad)
+
+    xb = envelopes(ref_c)
+    yb = envelopes(est_c)
+
+    n_seg = m_pad - SEG_FRAMES + 1
+    idx = jnp.arange(n_seg)[:, None] + jnp.arange(SEG_FRAMES)[None, :]
+    xs = xb[:, :, idx]  # (B, NB, n_seg, S)
+    ys = yb[:, :, idx]
+    alpha = jnp.sqrt(
+        jnp.sum(xs**2, axis=-1, keepdims=True)
+        / jnp.maximum(jnp.sum(ys**2, axis=-1, keepdims=True), 1e-30))
+    ys_c = jnp.minimum(ys * alpha, xs * (1.0 + 10.0 ** (-BETA_DB / 20.0)))
+    xm = xs - jnp.mean(xs, axis=-1, keepdims=True)
+    ym = ys_c - jnp.mean(ys_c, axis=-1, keepdims=True)
+    num = jnp.sum(xm * ym, axis=-1)
+    den = jnp.sqrt(jnp.sum(xm**2, axis=-1) * jnp.sum(ym**2, axis=-1))
+    d = num / jnp.maximum(den, 1e-30)  # (B, NB, n_seg)
+
+    seg_means = jnp.mean(d, axis=1)  # (B, n_seg)
+    valid = (jnp.arange(n_seg)[None, :]
+             < (m_valid[:, None] - SEG_FRAMES + 1)).astype(jnp.float32)
+    return (jnp.sum(seg_means * valid, axis=1)
+            / jnp.maximum(jnp.sum(valid, axis=1), 1.0))
+
+
+def stoi_packed(ref_list, est_list, fs: int = 16000, pool=None):
+    """(n_files,) STOI scores, batched: per-file host preprocessing
+    (optionally fanned out on ``pool``, a concurrent.futures executor),
+    then ONE packed transfer + ONE device program per frame-count bucket
+    (vs 3 device round trips per file for :func:`stoi`).  Files shorter
+    than one segment score NaN like the per-file path."""
+    if pool is not None:
+        staged = list(pool.map(lambda p: _host_stage(p[0], p[1], fs),
+                               zip(ref_list, est_list)))
+    else:
+        staged = [_host_stage(r, e, fs) for r, e in zip(ref_list, est_list)]
+
+    out = np.full(len(staged), np.nan)
+    buckets = {}
+    for i, (_, _, m) in enumerate(staged):
+        if m >= SEG_FRAMES:
+            m_pad = 1 << max(int(m - 1).bit_length(), 5)
+            buckets.setdefault(m_pad, []).append(i)
+    pending = []
+    for m_pad, idxs in sorted(buckets.items()):
+        lens = np.array([len(staged[i][0]) for i in idxs], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens[:-1])])
+        ref_c = np.empty(int(lens.sum()) + 1, np.float32)
+        est_c = np.empty(int(lens.sum()) + 1, np.float32)
+        ref_c[-1] = est_c[-1] = 0.0
+        for row, i in enumerate(idxs):
+            o, n = offsets[row], lens[row]
+            ref_c[o : o + n] = staged[i][0]
+            est_c[o : o + n] = staged[i][1]
+        m_valid = np.array([staged[i][2] for i in idxs], np.int32)
+        res = _stoi_packed_dev(
+            jnp.asarray(ref_c), jnp.asarray(est_c), jnp.asarray(offsets),
+            jnp.asarray(lens, np.int32), jnp.asarray(m_valid), m_pad=m_pad)
+        pending.append((idxs, res))  # dispatch all buckets before fetching
+    for idxs, res in pending:
+        out[np.asarray(idxs)] = np.asarray(res)
+    return out
