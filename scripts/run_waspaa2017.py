@@ -192,7 +192,10 @@ def main():
                         help="write configs without training")
     parser.add_argument("--dry-run", action="store_true",
                         help="print the commands without running")
-    parser.add_argument("--pesq", action="store_true")
+    parser.add_argument("--pesq", action="store_true",
+                        help=argparse.SUPPRESS)  # PESQ is on by default now
+    parser.add_argument("--no-pesq", action="store_true",
+                        help="skip PESQ in scoring (on by default)")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny 3-model grid (one per family) for a fast "
                         "end-to-end check of the whole orchestration")
@@ -235,8 +238,8 @@ def main():
             continue
         for mp in model_paths:
             argv = ["-c", mp, "-d", data_path]
-            if args.pesq:
-                argv.append("--pesq")
+            if args.no_pesq:
+                argv.append("--no-pesq")
             print(f"== run: python -m drnmf_tpu.cli {' '.join(argv)}")
             if not args.dry_run:
                 cli.main(argv)

@@ -9,11 +9,11 @@ Two modes:
 
   # explicit taskfiles (score_audio.m signature)
   python scripts/score_audio.py --enh taskfile_enh.txt --ref taskfile_ref.txt \\
-      --savefile scores.npz [--pesq]
+      --savefile scores.npz [--no-pesq]
 
   # rescore a description's enhanced outputs per SNR bucket (score_audio.sh)
   python scripts/score_audio.py --desc unfolded_snmf_<hash>_valid \\
-      --ref taskfile_chime2_valid_clean.txt [--pesq]
+      --ref taskfile_chime2_valid_clean.txt [--no-pesq]
 """
 
 import argparse
@@ -39,7 +39,11 @@ def main():
     parser.add_argument("--desc", help="description: rescore "
                         "'scaled'->'enhanced_<desc>' substitutions per SNR")
     parser.add_argument("--savefile", default=None)
-    parser.add_argument("--pesq", action="store_true")
+    parser.add_argument("--pesq", action="store_true",
+                        help=argparse.SUPPRESS)  # PESQ is on by default now
+    parser.add_argument("--no-pesq", action="store_true",
+                        help="skip PESQ (on by default, like the reference "
+                        "score_audio.m:225)")
     parser.add_argument("--rescore", action="store_true",
                         help="ignore cached score files")
     args = parser.parse_args()
@@ -67,7 +71,7 @@ def main():
             print(f"Scoring SNR {snr} ({len(refs_snr)} files) -> {savefile}")
             S, _ = score_taskfiles(
                 enh_snr, refs_snr, savefile=savefile,
-                compute_pesq=args.pesq, flag_rescore=args.rescore,
+                compute_pesq=not args.no_pesq, flag_rescore=args.rescore,
             )
             for label, val in zip(SCORE_LABELS, S.mean(axis=0)):
                 print(f"  mean {label}: {val:.3f}")
@@ -80,7 +84,7 @@ def main():
         parser.error(f"list length mismatch: {len(enh)} enhanced vs "
                      f"{len(refs)} reference files")
     S, _ = score_taskfiles(
-        enh, refs, savefile=args.savefile, compute_pesq=args.pesq,
+        enh, refs, savefile=args.savefile, compute_pesq=not args.no_pesq,
         flag_rescore=args.rescore,
     )
     for label, val in zip(SCORE_LABELS, S.mean(axis=0)):
