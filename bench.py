@@ -61,9 +61,13 @@ def drnmf_forward_flops(config, batch, frames, n_fft=None):
     f = config.input_dim
     k = config.K_layers
     folded = u_is_foldable(config) and not config.use_pallas
+    factored = config.factored_S and not config.use_pallas
+    # hidden @ S_k: dense (2r, 2r) matmul, or the factored identity-minus
+    # -rank-F pair (two F-contraction matmuls, DESIGN 2c)
+    s_term = (2 * (2 * h * f) if factored else 2 * h * h)
     per_frame = (
         (0 if folded else k * 2 * h * h)  # h_prev @ U_k (rank-1 when folded)
-        + (k - 1) * 2 * h * h  # hidden_{k-1} @ S_k
+        + (k - 1) * s_term     # hidden_{k-1} @ S_k
         + k * 2 * f * h        # x_t @ W_k
         + 2 * 2 * (h // 2) * f  # exp-dense clean/noise heads
     )

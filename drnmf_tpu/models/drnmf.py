@@ -72,10 +72,13 @@ class DRNMFConfig:
     return_all_hidden: bool = False  # concat all K layers' hidden per step
     dropout_W: float = 0.0  # variational input dropout (get_constants :377-395)
     dropout_U: float = 0.0  # variational recurrent dropout
-    # rematerialize the scan step in the backward pass: trades recompute for
-    # not storing per-layer activations across T timesteps (HBM headroom for
-    # long sequences / big batches)
-    remat: bool = False
+    # rematerialize the scan step in the backward pass: trades recompute
+    # for not storing per-step intermediates across T timesteps.  Default ON:
+    # with the factored S path the stored (B, T, F) intermediates otherwise
+    # dominate the backward (measured flagship train step on v5e: factored
+    # 14.1 steps/s -> 19.5 with remat, vs 18.2 dense); no effect on
+    # forward-only (inference) programs (measured 32-33k RTF either way).
+    remat: bool = True
     # TPU matmul precision: 'default' runs the MXU in single-pass bf16
     # (fastest; measured flagship-model mask delta vs 'highest' is 1.7e-4
     # max / 2.6e-5 mean on [0,1] masks -- far inside the 0.1 dB SDR parity
@@ -90,6 +93,14 @@ class DRNMFConfig:
     # over half the recurrence FLOPs -- collapse to one row-sum.  Exact up
     # to float reassociation; auto-disabled whenever U is trainable.
     fold_frozen_U: bool = True
+    # S_k = (I - (Dhat/alph)^T Dhat)^T = I - Dhat^T (Dhat/alph) is identity
+    # minus a rank-F correction (F=input_dim << 2r for every paper config):
+    # apply it as h - (h @ Dhat^T) @ (Dhat/alph) -- two thin F-contraction
+    # matmuls instead of one dense (2r, 2r) one.  Pure reassociation of the
+    # same float math (valid ALWAYS, including while D trains; gradients
+    # flow through the factors); 2r/F-fold fewer FLOPs and no (2r, 2r) S
+    # materialization.  Dense path kept for A/B and the Pallas kernel.
+    factored_S: bool = True
 
     @property
     def hidden_dim(self) -> int:
@@ -187,6 +198,20 @@ def u_is_foldable(config: DRNMFConfig) -> bool:
             and "log_Uk" not in config.params_trainable)
 
 
+def s_apply(S_k, hidden, prec):
+    """hidden @ S_k, where S_k is either a dense (2r, 2r) matrix or the
+    factored pair (dk, dka) with dk = Dhat (F, 2r) and dka = Dhat/alph:
+    hidden @ S = hidden - (hidden @ Dhat^T) @ (Dhat/alph)."""
+    if isinstance(S_k, tuple):
+        dk, dka = S_k
+        t = jnp.dot(hidden, dk.T, precision=prec,
+                    preferred_element_type=jnp.float32)  # (B, F)
+        return hidden - jnp.dot(t, dka, precision=prec,
+                                preferred_element_type=jnp.float32)
+    return jnp.dot(hidden, S_k, precision=prec,
+                   preferred_element_type=jnp.float32)
+
+
 def u_terms(U, h, K: int, prec):
     """Per-layer U contributions [h @ U_k for k in range(K)] -- one row-sum
     when U is a FoldedU, K dense matmuls otherwise.  For FoldedU:
@@ -202,11 +227,13 @@ def u_terms(U, h, K: int, prec):
 
 
 def _effective_matrices(params: dict, config: DRNMFConfig,
-                        fold_u: bool = False):
+                        fold_u: bool = False, factor_s: bool = False):
     """Materialize per-layer U, S, W, b from the alt params (enhance.py:162-204).
 
     With ``fold_u`` (and foldable U, see ``u_is_foldable``) U is returned as
-    a ``FoldedU`` instead of K dense (2r, 2r) matrices."""
+    a ``FoldedU`` instead of K dense (2r, 2r) matrices.  With ``factor_s``
+    (and ``config.factored_S``) each S_k is returned as its factored pair
+    (Dhat, Dhat/alph) for ``s_apply`` instead of a dense (2r, 2r) matrix."""
     K = config.K_layers
     d_names = config.untied_names("log_D")
     a_names = config.untied_names("log_alph")
@@ -238,7 +265,13 @@ def _effective_matrices(params: dict, config: DRNMFConfig,
     for k in range(1, K):
         dk = dhat(k)
         alph = jnp.exp(params[a_names[k]])
-        S.append((eye - jnp.dot((dk / alph).T, dk, preferred_element_type=jnp.float32)).T)
+        if factor_s and config.factored_S:
+            # S = (I - (dk/alph)^T dk)^T = I - dk^T (dk/alph); s_apply
+            # consumes the factors without materializing the (2r, 2r) matrix
+            S.append((dk, dk / alph))
+        else:
+            S.append((eye - jnp.dot((dk / alph).T, dk,
+                                    preferred_element_type=jnp.float32)).T)
     W = [dhat(k) / jnp.exp(params[a_names[k]]) for k in range(K)]
     b = [
         -jnp.ones((config.hidden_dim,), jnp.float32)
@@ -274,8 +307,7 @@ def make_cell_step(config: DRNMFConfig, U, S, W, b):
         for k in range(config.K_layers):
             pre = u[k]
             if k > 0:
-                pre = pre + jnp.dot(hidden, S[k - 1], precision=prec,
-                                    preferred_element_type=jnp.float32)
+                pre = pre + s_apply(S[k - 1], hidden, prec)
             if config.connect_input_to_layers:
                 pre = pre + jnp.dot(x_t, W[k], precision=prec,
                                     preferred_element_type=jnp.float32)
@@ -305,7 +337,8 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
     ``return_all_hidden``."""
     K = config.K_layers
     U, S, W, b = _effective_matrices(params, config,
-                                     fold_u=not config.use_pallas)
+                                     fold_u=not config.use_pallas,
+                                     factor_s=not config.use_pallas)
     if config.nonnegative:
         h0 = jax.nn.softplus(params["log_h0"])
     else:
@@ -365,8 +398,7 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
         for k in range(K):
             pre = u[k]
             if k > 0:
-                pre = pre + jnp.dot(hidden, S[k - 1], precision=prec,
-                                    preferred_element_type=jnp.float32)
+                pre = pre + s_apply(S[k - 1], hidden, prec)
             if config.connect_input_to_layers:
                 pre = pre + jnp.dot(x_t * b_w, W[k], precision=prec,
                                     preferred_element_type=jnp.float32)

@@ -74,7 +74,7 @@ def drnmf_scan_seq_pipelined(params, config, x, step_mask, mesh,
     def local(params_loc, x_loc, m_loc):
         # params enter as (replicated) arguments -- not closure constants --
         # so the jitted program below is reusable across param values
-        U, S, W, b = _effective_matrices(params_loc, config, fold_u=True)
+        U, S, W, b = _effective_matrices(params_loc, config, fold_u=True, factor_s=True)
         if config.nonnegative:
             h0 = jax.nn.softplus(params_loc["log_h0"])
         else:

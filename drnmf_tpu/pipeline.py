@@ -257,6 +257,8 @@ def drnmf_config_from_params(params_model, input_dim, mask_value=-1.0):
         dropout_U=float(params_model.get("dropout_U", 0.0)),
         matmul_precision=params_model.get("matmul_precision", "default"),
         fold_frozen_U=bool(params_model.get("fold_frozen_U", True)),
+        factored_S=bool(params_model.get("factored_S", True)),
+        remat=bool(params_model.get("remat", True)),
     )
 
 

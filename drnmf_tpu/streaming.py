@@ -51,7 +51,7 @@ def _make_block_step(config: DRNMFConfig, n_fft: int, hop: int):
 
     @jax.jit
     def step(params, frames, h, acc):
-        U, S, W, b = _effective_matrices(params, config, fold_u=True)
+        U, S, W, b = _effective_matrices(params, config, fold_u=True, factor_s=True)
         fr = frames * window
         if _use_mxu_dft():
             cos_a, sin_a, syn_cos, syn_sin = (jnp.asarray(m) for m in
