@@ -63,12 +63,15 @@ def drnmf_forward_flops(config, batch, frames, n_fft=None):
     folded = u_is_foldable(config) and not config.use_pallas
     factored = config.factored_S and not config.use_pallas
     # hidden @ S_k: dense (2r, 2r) matmul, or the factored identity-minus
-    # -rank-F pair (two F-contraction matmuls, DESIGN 2c)
+    # -rank-F pair (two F-contraction matmuls, DESIGN 2c); in the factored
+    # ISTA-residual form the x_t @ W_k matmul for layers k > 0 fuses into
+    # the S factors (W_k IS the second factor), so only layer 0 pays it
     s_term = (2 * (2 * h * f) if factored else 2 * h * h)
+    w_layers = 1 if (factored and config.connect_input_to_layers) else k
     per_frame = (
         (0 if folded else k * 2 * h * h)  # h_prev @ U_k (rank-1 when folded)
-        + (k - 1) * s_term     # hidden_{k-1} @ S_k
-        + k * 2 * f * h        # x_t @ W_k
+        + (k - 1) * s_term     # hidden_{k-1} @ S_k (+ fused input term)
+        + w_layers * 2 * f * h  # x_t @ W_k
         + 2 * 2 * (h // 2) * f  # exp-dense clean/noise heads
     )
     if n_fft is not None:

@@ -212,6 +212,30 @@ def s_apply(S_k, hidden, prec):
                    preferred_element_type=jnp.float32)
 
 
+def layer_pre(k, u_k, hidden, x_eff, S, W, config, prec):
+    """Bias-free pre-activation of layer k:
+    ``u_k (+ hidden @ S_{k-1} for k>0) (+ x_eff @ W_k)``.
+
+    When S is factored AND the input feeds every layer, W_k = Dhat_k/alph_k
+    is the SAME matrix as the second S factor (enhance.py:184-195 vs
+    :171-181), so the S and W terms fuse into the literal ISTA residual
+    form ``u_k + hidden + (x_eff - hidden @ Dhat^T) @ (Dhat/alph)`` --
+    eliminating the separate input-projection matmul for layers k > 0."""
+    dot = partial(jnp.dot, precision=prec,
+                  preferred_element_type=jnp.float32)
+    if k == 0:
+        return (u_k + dot(x_eff, W[0])
+                if config.connect_input_to_layers else u_k)
+    S_k = S[k - 1]
+    if isinstance(S_k, tuple) and config.connect_input_to_layers:
+        dk, dka = S_k
+        return u_k + hidden + dot(x_eff - dot(hidden, dk.T), dka)
+    pre = u_k + s_apply(S_k, hidden, prec)
+    if config.connect_input_to_layers:
+        pre = pre + dot(x_eff, W[k])
+    return pre
+
+
 def u_terms(U, h, K: int, prec):
     """Per-layer U contributions [h @ U_k for k in range(K)] -- one row-sum
     when U is a FoldedU, K dense matmuls otherwise.  For FoldedU:
@@ -305,12 +329,7 @@ def make_cell_step(config: DRNMFConfig, U, S, W, b):
         hidden = None
         u = u_terms(U, h_prev, config.K_layers, prec)
         for k in range(config.K_layers):
-            pre = u[k]
-            if k > 0:
-                pre = pre + s_apply(S[k - 1], hidden, prec)
-            if config.connect_input_to_layers:
-                pre = pre + jnp.dot(x_t, W[k], precision=prec,
-                                    preferred_element_type=jnp.float32)
+            pre = layer_pre(k, u[k], hidden, x_t, S, W, config, prec)
             hidden = act(pre + b[k])
         return hidden
 
@@ -395,13 +414,9 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
         hidden = None
         outs = []
         u = u_terms(U, h_prev * b_u, K, prec)
+        x_eff = x_t * b_w
         for k in range(K):
-            pre = u[k]
-            if k > 0:
-                pre = pre + s_apply(S[k - 1], hidden, prec)
-            if config.connect_input_to_layers:
-                pre = pre + jnp.dot(x_t * b_w, W[k], precision=prec,
-                                    preferred_element_type=jnp.float32)
+            pre = layer_pre(k, u[k], hidden, x_eff, S, W, config, prec)
             hidden = act(pre + b[k])
             outs.append(hidden)
         out = jnp.concatenate(outs, axis=1) if config.return_all_hidden else hidden
