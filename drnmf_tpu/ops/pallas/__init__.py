@@ -1,3 +1,8 @@
-from .drnmf_scan import drnmf_scan_pallas, pallas_scan_supported
+from .drnmf_scan import (
+    drnmf_scan_pallas,
+    drnmf_scan_pallas_factored,
+    pallas_scan_supported,
+)
 
-__all__ = ["drnmf_scan_pallas", "pallas_scan_supported"]
+__all__ = ["drnmf_scan_pallas", "drnmf_scan_pallas_factored",
+           "pallas_scan_supported"]

@@ -164,3 +164,121 @@ def pallas_scan_supported(k_layers: int, n2r: int, f: int, bsz: int,
     ) * dtype_bytes
     act = (3 * bsz * pad128(n2r) + 2 * bsz * pad128(f)) * 4 * 2  # double buffer
     return weights + act < vmem_budget
+
+
+def _kernel_factored(x_ref, m_ref, h0_ref, fold_ref, dkt_ref, dka_ref,
+                     b_ref, out_ref, h_carry, *, k_layers, block_t):
+    """Factored + folded step (models.drnmf.layer_pre semantics):
+
+        rs      = rowsum(h_prev)
+        u_first = h_prev * (diag1 - off1) + off1 * rs
+        u_rest  = c * rs
+        layer 0:   hidden = relu(u_first + x_t @ dka_0 + b_0)
+        layer k>0: hidden = relu(u_rest + hidden
+                                 + (x_t - hidden @ dkT_{k-1}) @ dka_k + b_k)
+
+    fold_ref packs [diag1 (2r,), off1 (2r, broadcast), c (2r, broadcast)]
+    as a (3, 2r) f32 block; dkT/dka are the thin factored weights, VMEM
+    -resident across the whole time grid."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_carry[:] = h0_ref[:]
+
+    diag1 = fold_ref[0][None, :]
+    off1 = fold_ref[1][0]
+    c_uk = fold_ref[2][0]
+
+    h_prev = h_carry[:]
+    for ct in range(block_t):
+        x_t = x_ref[ct]
+        rs = jnp.sum(h_prev, axis=1, keepdims=True)
+        u_first = h_prev * (diag1 - off1) + off1 * rs
+        u_rest = c_uk * rs
+        hidden = None
+        for k in range(k_layers):
+            if k == 0:
+                pre = u_first + _dot(x_t, dka_ref[0])
+            else:
+                resid = x_t - _dot(hidden, dkt_ref[k - 1])
+                pre = u_rest + hidden + _dot(resid, dka_ref[k])
+            hidden = jnp.maximum(pre + b_ref[k][None, :], 0.0)
+        m_t = m_ref[ct]  # (B, 1)
+        h_prev = jnp.where(m_t > 0, hidden, h_prev)
+        out_ref[ct] = h_prev
+    h_carry[:] = h_prev
+
+
+def drnmf_scan_pallas_factored(x, step_mask, h0, diag1, off1, c_uk,
+                               dkt_stack, dka_stack, b_stack,
+                               interpret: bool = False,
+                               vmem_limit_bytes: int | None = None,
+                               block_t: int = 2):
+    """Factored-weights fused scan: x (B, T, F); h0 (B, 2r);
+    diag1 (2r,); off1/c_uk scalars; dkt_stack (K-1, 2r, F) = Dhat_k^T
+    (dummy (1, ...) when K == 1); dka_stack (K, F, 2r) = Dhat_k/alph_k;
+    b_stack (K, 2r).  Returns (B, T, 2r) float32 hidden states."""
+    bsz, t_len, f = x.shape
+    n2r = h0.shape[-1]
+    k_layers = dka_stack.shape[0]
+
+    fold = jnp.stack([
+        jnp.asarray(diag1, jnp.float32),
+        jnp.broadcast_to(jnp.asarray(off1, jnp.float32), (n2r,)),
+        jnp.broadcast_to(jnp.asarray(c_uk, jnp.float32), (n2r,)),
+    ])  # (3, 2r)
+
+    if vmem_limit_bytes is None:
+        def pad128(n):
+            return -(-n // 128) * 128
+
+        wbytes = dka_stack.dtype.itemsize
+        weights = (
+            (max(1, k_layers - 1) + k_layers) * pad128(f) * pad128(n2r)
+            * wbytes
+            + (k_layers + 3) * pad128(n2r) * 4
+        )
+        act = (
+            2 * block_t * bsz * (pad128(f) + pad128(n2r))
+            + 6 * bsz * pad128(n2r)
+        ) * 4
+        vmem_limit_bytes = min(int((weights + act) * 1.25), 126 * 1024 * 1024)
+
+    xT = jnp.swapaxes(x, 0, 1)
+    mT = jnp.swapaxes(step_mask, 0, 1)[..., None].astype(jnp.float32)
+
+    block_t = max(1, min(block_t, t_len))
+    pad_t = (-t_len) % block_t
+    if pad_t:
+        xT = jnp.pad(xT, ((0, pad_t), (0, 0), (0, 0)))
+        mT = jnp.pad(mT, ((0, pad_t), (0, 0), (0, 0)))
+    t_pad = t_len + pad_t
+
+    grid = (t_pad // block_t,)
+    const = lambda t: (0, 0)
+    const3 = lambda t: (0, 0, 0)
+
+    out = pl.pallas_call(
+        partial(_kernel_factored, k_layers=k_layers, block_t=block_t),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, bsz, f), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bsz, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, n2r), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, n2r), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dkt_stack.shape, const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(dka_stack.shape, const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_stack.shape, const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, bsz, n2r), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, bsz, n2r), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bsz, n2r), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
+        interpret=interpret,
+    )(xT, mT, h0, fold, dkt_stack, dka_stack, b_stack)
+    return jnp.swapaxes(out[:t_len], 0, 1)
