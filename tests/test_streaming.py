@@ -98,3 +98,62 @@ def test_streaming_short_signal(rng, small_model):
     assert len(out) >= len(offline)
     np.testing.assert_allclose(out[: len(offline)], offline,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_serve_protocol_matches_offline(rng, small_model):
+    """scripts/serve.py: the TCP length-prefixed protocol streams chunks
+    through a per-connection StreamingEnhancer; the concatenated replies
+    equal the offline pipeline.  Exercised over a socketpair (no port)."""
+    import os
+    import socket
+    import struct
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import serve
+
+    params, config = small_model
+    n_fft, hop = 64, 16
+    x = (rng.standard_normal(2500) * 0.2).astype(np.float32)
+
+    srv_sock, cli_sock = socket.socketpair()
+    err = []
+
+    def run():
+        try:
+            serve.serve_connection(
+                srv_sock,
+                lambda: StreamingEnhancer(params, config, n_fft, hop,
+                                          block_frames=8))
+        except Exception as e:  # surfaced below
+            err.append(e)
+        finally:
+            srv_sock.close()
+
+    th = threading.Thread(target=run)
+    th.start()
+
+    def send(chunk):
+        chunk = np.asarray(chunk, np.float32)
+        cli_sock.sendall(struct.pack("<i", chunk.size) + chunk.tobytes())
+
+    def recv_reply():
+        (m,) = struct.unpack("<i", serve._recv_exact(cli_sock, 4))
+        return np.frombuffer(serve._recv_exact(cli_sock, 4 * m), dtype="<f4")
+
+    outs = []
+    for i in range(0, len(x), 600):
+        send(x[i : i + 600])
+        outs.append(recv_reply())
+    send(np.zeros(0, np.float32))  # flush request
+    outs.append(recv_reply())
+    cli_sock.close()
+    th.join(timeout=60)
+    assert not err, err
+    streamed = np.concatenate(outs)
+
+    offline = offline_enhance(params, config, x, n_fft, hop)
+    assert len(streamed) >= len(offline)
+    np.testing.assert_allclose(streamed[: len(offline)], offline,
+                               rtol=1e-4, atol=1e-5)
