@@ -35,14 +35,26 @@ from .checkpoint import save_checkpoint
 
 
 def _save_train_state(path, epoch, params, opt_state, best_params, best_val,
-                      wait, global_step, finished=False):
-    """Full training state for elastic resume (written atomically)."""
+                      wait, global_step, finished=False, trainable_mask=None):
+    """Full training state for elastic resume (written atomically).
+
+    With ``trainable_mask``, frozen parameters are NOT persisted (they
+    cannot change -- the optimizer gives them zero updates) and are
+    reconstituted from the caller's initial params at load.  This matters
+    in practice: the flagship model's frozen log_U1/log_Uk are (2r, 2r) --
+    ~32 MB that would otherwise be fetched from device and pickled every
+    epoch (measured dominating per-epoch wall on small corpora behind the
+    axon tunnel)."""
+    keep = ((lambda k: bool(trainable_mask.get(k, True)))
+            if trainable_mask else (lambda k: True))
     flat_opt, treedef = jax.tree.flatten(opt_state)
     state = {
         "epoch": epoch,
-        "params": {k: np.asarray(v) for k, v in params.items()},
+        "params": {k: np.asarray(v) for k, v in params.items() if keep(k)},
         "opt_leaves": [np.asarray(x) for x in flat_opt],
-        "best_params": {k: np.asarray(v) for k, v in best_params.items()},
+        "best_params": {k: np.asarray(v) for k, v in best_params.items()
+                        if keep(k)},
+        "frozen_keys": sorted(k for k in params if not keep(k)),
         "best_val": float(best_val),
         "wait": int(wait),
         "global_step": int(global_step),
@@ -69,9 +81,19 @@ def train_state_incomplete(savefile, epochs, patience):
     return state["epoch"] + 1 < epochs
 
 
-def _load_train_state(path, opt_state_template):
+def _load_train_state(path, opt_state_template, frozen_source=None):
+    """``frozen_source``: params dict supplying the values of
+    ``frozen_keys`` (the run's initial params -- frozen values are
+    identical by construction)."""
     with open(path, "rb") as f:
         state = pickle.load(f)
+    for k in state.get("frozen_keys", []):
+        if frozen_source is None or k not in frozen_source:
+            raise ValueError(
+                f"train state {path} omits frozen param '{k}' but no "
+                f"frozen_source provides it")
+        state["params"][k] = np.asarray(frozen_source[k])
+        state["best_params"][k] = np.asarray(frozen_source[k])
     _, treedef = jax.tree.flatten(opt_state_template)
     opt_state = jax.tree.unflatten(treedef, state["opt_leaves"])
     return state, opt_state
@@ -234,12 +256,24 @@ def train_model(
     rng = np.random.default_rng(train_config.seed)
 
     best_val = np.inf
-    best_params = {k: np.asarray(v) for k, v in params.items()}
+    # frozen params never change: fetch them from device ONCE; per-epoch
+    # best-params/state snapshots fetch only the trainable entries
+    frozen_np = ({k: np.asarray(v) for k, v in params.items()
+                  if not trainable_mask.get(k, True)}
+                 if trainable_mask else {})
+
+    def snapshot(p):
+        return {**frozen_np,
+                **{k: np.asarray(v) for k, v in p.items()
+                   if k not in frozen_np}}
+
+    best_params = snapshot(params)
     wait = 0
     start_epoch = 0
 
     if resuming:
-        state, opt_state = _load_train_state(state_file, opt_state)
+        state, opt_state = _load_train_state(state_file, opt_state,
+                                             frozen_source=frozen_np or None)
         if mesh is not None:
             from ..parallel.mesh import replicate_params
 
@@ -310,7 +344,7 @@ def train_model(
 
         if val_loss < best_val:
             best_val = val_loss
-            best_params = {k: np.asarray(v) for k, v in params.items()}
+            best_params = snapshot(params)
             if savefile is not None:
                 save_checkpoint(savefile, best_params, meta={"val_loss": best_val})
             wait = 0
@@ -319,7 +353,8 @@ def train_model(
 
         if state_file:
             _save_train_state(state_file, epoch, params, opt_state,
-                              best_params, best_val, wait, global_step)
+                              best_params, best_val, wait, global_step,
+                              trainable_mask=trainable_mask)
 
         if wait > train_config.patience:
             if train_config.verbose:
@@ -330,7 +365,8 @@ def train_model(
                 # resuming with a larger `epochs`
                 _save_train_state(state_file, epoch, params, opt_state,
                                   best_params, best_val, wait, global_step,
-                                  finished=True)
+                                  finished=True,
+                                  trainable_mask=trainable_mask)
             break
 
     if train_config.epochs == 0 and savefile is not None:

@@ -222,3 +222,58 @@ def test_snmf_cache_path_ignores_execution_knobs():
     assert a == b
     c = snmf_cache_path(SNMFParams(r=16, cf="ed", sparsity=1.0))
     assert a != c
+
+
+def test_resume_state_omits_frozen_params(tmp_path, rng):
+    """Elastic-resume state persists only trainable params (frozen ones are
+    reconstituted from the init at load); interrupted-and-resumed still
+    equals uninterrupted exactly."""
+    import pickle
+    import jax.numpy as jnp
+    from drnmf_tpu.models import (
+        DRNMFConfig, init_drnmf_params, drnmf_apply, drnmf_trainable_mask)
+    from drnmf_tpu.train import TrainConfig, train_model
+    from drnmf_tpu.train.losses import masked_mse_signal_approx
+
+    f, r = 9, 4
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=10.0, lam1=0.2,
+                         params_untied=("log_D", "log_alph"),
+                         params_trainable=("log_D", "log_alph"))
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = init_drnmf_params(config, w)
+    mask_tr = drnmf_trainable_mask(config, params)
+
+    def loss_fn(p, x, y, m):
+        return masked_mse_signal_approx(drnmf_apply(p, config, x), x, y, m)
+
+    x = rng.uniform(0, 2, (8, 6, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (8, 6, f)).astype(np.float32)
+    m = np.ones((8, 6, 1), np.float32)
+    sf_a = str(tmp_path / "a.npz")
+    sf_b = str(tmp_path / "b.npz")
+
+    tc4 = TrainConfig(epochs=4, batch_size=4, learning_rate=1e-2,
+                      patience=50, verbose=False)
+    best_full, _ = train_model(params, loss_fn, (x, y, m), (x, y, m), tc4,
+                               trainable_mask=mask_tr, savefile=sf_a,
+                               resume=True)
+
+    tc2 = TrainConfig(epochs=2, batch_size=4, learning_rate=1e-2,
+                      patience=50, verbose=False)
+    train_model(params, loss_fn, (x, y, m), (x, y, m), tc2,
+                trainable_mask=mask_tr, savefile=sf_b, resume=True)
+    # frozen (2r, 2r) params are NOT in the state file
+    with open(sf_b + ".train_state", "rb") as fh:
+        state = pickle.load(fh)
+    assert "log_U1" not in state["params"]
+    assert "log_Uk" not in state["best_params"]
+    assert set(state["frozen_keys"]) >= {"log_U1", "log_Uk"}
+    # resume to 4 epochs: identical to the uninterrupted run
+    best_res, _ = train_model(params, loss_fn, (x, y, m), (x, y, m), tc4,
+                              trainable_mask=mask_tr, savefile=sf_b,
+                              resume=True)
+    for k in best_full:
+        np.testing.assert_array_equal(np.asarray(best_full[k]),
+                                      np.asarray(best_res[k]))
