@@ -145,6 +145,15 @@ def fused_metrics_packed(est_list, ref_list, fs: int = 16000,
             newly = need & np.isfinite(vals[:, 0])
             out[w[1][newly]] = vals[newly]
             need &= ~newly
-            if need.any() and ridge == 1e-3:  # keep the largest-ridge value
+            if need.any() and ridge == 1e-3:
+                # still non-finite at the largest ridge: keep the SNR/SegSNR
+                # columns but recompute SDR through the exact per-file
+                # fallback, like fused_device_metrics does -- a NaN here
+                # would otherwise propagate into per-bucket score means
                 out[w[1][need]] = vals[need]
+                for i in w[1][need]:
+                    n = lens[i]
+                    out[i, 0] = bss_eval_sdr(
+                        np.asarray(est_list[i][:n], np.float32),
+                        np.asarray(ref_list[i][:n], np.float32), flen=flen)
     return out

@@ -198,6 +198,44 @@ def u_is_foldable(config: DRNMFConfig) -> bool:
             and "log_Uk" not in config.params_trainable)
 
 
+def fold_structure_holds(params: dict) -> bool:
+    """Host-side structural check of the rank-one fold's assumption: FoldedU
+    reads only diag(log_U1), log_U1[0,1], and log_Uk[0,0], which is exact
+    only when log_U1's off-diagonal is uniform and log_Uk is a constant
+    matrix (the init of init_drnmf_params / enhance.py:220-221).  A
+    checkpoint whose frozen U deviates (config/checkpoint mismatch, or U
+    trained in an earlier stage and then frozen) would otherwise silently
+    compute wrong hidden states through the folded path."""
+    lu1 = np.asarray(params.get("log_U1"))
+    luk = np.asarray(params.get("log_Uk"))
+    if lu1 is None or luk is None or lu1.ndim != 2 or luk.ndim != 2:
+        return False
+    n = lu1.shape[0]
+    if lu1.shape != (n, n) or luk.shape != (n, n):
+        return False
+    if n > 1:
+        off_mask = ~np.eye(n, dtype=bool)
+        if not np.all(lu1[off_mask] == lu1[0, 1]):
+            return False
+    return bool(np.all(luk == luk.flat[0]))
+
+
+def ensure_fold_valid(config: DRNMFConfig, params: dict,
+                      verbose: bool = True) -> DRNMFConfig:
+    """Validate loaded params against the frozen-U fold; disable the fold
+    (returning an updated config) when the structural assumption does not
+    hold.  Call after every checkpoint/warm-start load (ADVICE r2)."""
+    if not u_is_foldable(config) or fold_structure_holds(params):
+        return config
+    if verbose:
+        print("fold_frozen_U disabled: checkpointed log_U1/log_Uk do not "
+              "have the structured init form the rank-one fold assumes "
+              "(running the exact dense-U path instead)")
+    import dataclasses
+
+    return dataclasses.replace(config, fold_frozen_U=False)
+
+
 def s_apply(S_k, hidden, prec):
     """hidden @ S_k, where S_k is either a dense (2r, 2r) matrix or the
     factored pair (dk, dka) with dk = Dhat (F, 2r) and dka = Dhat/alph:

@@ -62,6 +62,9 @@ def main():
         params, _ = load_checkpoint(args.model)
     except FileNotFoundError:
         parser.error(f"checkpoint not found: {args.model}")
+    from drnmf_tpu.models.drnmf import ensure_fold_valid
+
+    config = ensure_fold_valid(config, params)
     missing = [p for p in inputs if not os.path.isfile(p)]
     if missing:
         parser.error(f"input wav not found: {missing[0]}")

@@ -49,13 +49,30 @@ def _send_samples(conn, samples):
     conn.sendall(struct.pack("<i", samples.size) + samples.tobytes())
 
 
-def serve_connection(conn, make_enhancer_state):
-    """One client session: fresh enhancer, stream until the flush request."""
+# a single message is bounded to a few seconds of 16 kHz audio: a client
+# int32 can otherwise demand an ~8 GB recv buffer and wedge the sequential
+# server (ADVICE r2)
+MAX_CHUNK_SAMPLES = 10 * 16000
+RECV_TIMEOUT_S = 30.0
+
+
+def serve_connection(conn, make_enhancer_state,
+                     max_chunk=MAX_CHUNK_SAMPLES, timeout=RECV_TIMEOUT_S):
+    """One client session: fresh enhancer, stream until the flush request.
+
+    Oversize chunk lengths are rejected (connection dropped with an error)
+    and a recv timeout bounds how long a stalled client can hold the
+    sequential single-connection server."""
+    if timeout:
+        conn.settimeout(timeout)
     enh = make_enhancer_state()
     while True:
         (n,) = struct.unpack("<i", _recv_exact(conn, 4))
         if n < 0:
             raise ValueError(f"negative chunk length {n}")
+        if n > max_chunk:
+            raise ValueError(
+                f"chunk length {n} exceeds the {max_chunk}-sample cap")
         if n == 0:
             _send_samples(conn, enh.flush())
             return
@@ -87,6 +104,9 @@ def main():
     cfg = load_yaml(args.config)
     config = drnmf_config_from_params(cfg, args.n_fft // 2 + 1)
     params, _ = load_checkpoint(args.model)
+    from drnmf_tpu.models.drnmf import ensure_fold_valid
+
+    config = ensure_fold_valid(config, params)
 
     def fresh():
         return StreamingEnhancer(params, config, n_fft=args.n_fft,
@@ -112,7 +132,7 @@ def main():
             conn, addr = srv.accept()
             try:
                 serve_connection(conn, fresh)
-            except (ConnectionError, ValueError) as e:
+            except (ConnectionError, ValueError, socket.timeout) as e:
                 print(f"connection {addr}: {e}", flush=True)
             finally:
                 conn.close()

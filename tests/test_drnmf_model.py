@@ -436,3 +436,47 @@ def test_factored_s_matches_dense(rng):
         for k in g_d:
             np.testing.assert_allclose(np.asarray(g_f[k]), np.asarray(g_d[k]),
                                        rtol=1e-2, atol=1e-3)
+
+
+def test_ensure_fold_valid_detects_unstructured_u(rng):
+    """A checkpoint whose frozen U deviates from the structured init must
+    not run the rank-one fold (ADVICE r2): ensure_fold_valid disables it,
+    and the resulting forward matches the exact dense-U computation."""
+    from drnmf_tpu.models.drnmf import (
+        ensure_fold_valid, fold_structure_holds, drnmf_forward)
+    import dataclasses
+    import jax.numpy as jnp
+
+    f, r = 9, 4
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=10.0, lam1=0.2,
+                         params_untied=("log_D", "log_alph"),
+                         params_trainable=("log_D", "log_alph"))
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = init_drnmf_params(config, w)
+
+    # pristine init: structure holds, fold stays on
+    assert fold_structure_holds(params)
+    assert ensure_fold_valid(config, params, verbose=False) is config
+
+    # perturb one off-diagonal of log_U1 (e.g. a checkpoint from a stage
+    # where U trained): the fold must be disabled
+    bad = {k: np.array(v, copy=True) for k, v in params.items()}
+    bad["log_U1"][0, 2] += 0.5
+    assert not fold_structure_holds(bad)
+    cfg2 = ensure_fold_valid(config, bad, verbose=False)
+    assert not cfg2.fold_frozen_U
+
+    # and the guarded config computes the exact dense-U forward
+    x = rng.uniform(0, 2, (2, 5, f)).astype(np.float32)
+    got = np.asarray(drnmf_forward(bad, cfg2, jnp.asarray(x)))
+    dense_cfg = dataclasses.replace(config, fold_frozen_U=False,
+                                    factored_S=False)
+    want = np.asarray(drnmf_forward(bad, dense_cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    # perturbing log_Uk is caught too
+    bad2 = {k: np.array(v, copy=True) for k, v in params.items()}
+    bad2["log_Uk"][1, 1] += 0.3
+    assert not fold_structure_holds(bad2)

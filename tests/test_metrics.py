@@ -287,3 +287,28 @@ def test_fused_metrics_packed_matches_per_file(rng):
                                   [p[1] for p in pairs], fs)
     assert np.all(np.isfinite(packed))
     np.testing.assert_allclose(packed, per_file, rtol=1e-4, atol=1e-3)
+
+
+def test_fused_packed_degenerate_reference_matches_per_file():
+    """References that stay rank-deficient at the largest ridge take the
+    same exact per-file SDR fallback in the packed path as in
+    fused_device_metrics (ADVICE r2: no NaN divergence between paths)."""
+    from drnmf_tpu.metrics.fused import fused_device_metrics, fused_metrics_packed
+
+    rng = np.random.default_rng(5)
+    fs = 16000
+    t = np.arange(4000)
+    # a pure sinusoid reference is near-rank-deficient for the 512-tap
+    # Toeplitz solve; include healthy signals around it
+    sine = np.sin(2 * np.pi * 440.0 * t / fs).astype(np.float32)
+    refs = [rng.standard_normal(3000).astype(np.float32), sine,
+            rng.standard_normal(5000).astype(np.float32)]
+    ests = [r + 0.1 * rng.standard_normal(len(r)).astype(np.float32)
+            for r in refs]
+
+    packed = fused_metrics_packed(ests, refs, fs)
+    for i in range(len(refs)):
+        per_file = fused_device_metrics(ests[i], refs[i], fs)
+        np.testing.assert_allclose(packed[i], np.asarray(per_file),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"file {i}")

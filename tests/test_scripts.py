@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPTS = os.path.join(REPO, "scripts")
@@ -146,3 +147,31 @@ def test_enhance_wav_missing_model(tmp_path):
              "-o", str(tmp_path / "out.wav")], str(tmp_path))
     assert r.returncode == 2
     assert "checkpoint not found" in r.stderr
+
+
+def test_serve_connection_rejects_oversize_chunk():
+    """A single client message cannot demand an unbounded recv buffer
+    (ADVICE r2): oversize lengths error out instead of allocating."""
+    import socket
+    import struct
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import serve
+
+    a, b = socket.socketpair()
+    try:
+        a.sendall(struct.pack("<i", 2**30))
+
+        class DummyEnh:
+            def process(self, x):
+                return x
+
+            def flush(self):
+                return []
+
+        with pytest.raises(ValueError, match="cap"):
+            serve.serve_connection(b, DummyEnh, timeout=5.0)
+    finally:
+        a.close()
+        b.close()
