@@ -312,3 +312,217 @@ def test_fused_packed_degenerate_reference_matches_per_file():
         np.testing.assert_allclose(packed[i], np.asarray(per_file),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"file {i}")
+
+
+# ---------------------------------------------------------------------------
+# round-3 on-device engine (engine.py, pesq_device.py, stoi_device.py)
+# ---------------------------------------------------------------------------
+
+def _engine_battery(rng):
+    """Mixed-length speech-like pairs for engine parity tests."""
+    pairs = []
+    for n, amp in [(9000, 0.05), (16000, 0.1), (23000, 0.2), (12000, 0.02)]:
+        ref = _speechlike(rng, n)
+        est = ref + amp * rng.standard_normal(n).astype(np.float32)
+        pairs.append((est, ref))
+    return [p[0] for p in pairs], [p[1] for p in pairs]
+
+
+def test_device_resample_matches_scipy(rng):
+    """The on-device polyphase 16k->10k resampler is scipy's
+    resample_poly to float32 roundoff."""
+    import scipy.signal
+    import jax.numpy as jnp
+    from drnmf_tpu.metrics.stoi_device import resample_rows_16k_to_10k
+
+    lens = [1000, 4321, 8000]
+    L = 8192
+    rows = np.zeros((len(lens), L), np.float32)
+    sigs = []
+    for i, n in enumerate(lens):
+        x = rng.standard_normal(n).astype(np.float32)
+        sigs.append(x)
+        rows[i, :n] = x
+    res, n10 = resample_rows_16k_to_10k(
+        jnp.asarray(rows), jnp.asarray(lens, np.int32))
+    res = np.asarray(res)
+    for i, x in enumerate(sigs):
+        want = scipy.signal.resample_poly(np.float64(x), 5, 8)
+        m = int(np.asarray(n10)[i])
+        assert m == len(want)
+        np.testing.assert_allclose(res[i, :m], want, atol=2e-6)
+
+
+def test_device_pesq_matches_host(rng):
+    from drnmf_tpu.metrics._pesq_model import pesq_mos_aligned
+    from drnmf_tpu.metrics.pesq_device import pesq_packed
+
+    ests, refs = _engine_battery(rng)
+    dev = pesq_packed(refs, ests, 16000)
+    for i in range(len(ests)):
+        host = pesq_mos_aligned(np.float64(refs[i]), np.float64(ests[i]))
+        np.testing.assert_allclose(dev[i], host, atol=2e-3,
+                                   err_msg=f"pair {i}")
+    # degenerate (too short) input scores NaN on both paths
+    short = rng.standard_normal(600).astype(np.float32)
+    dev_short = pesq_packed([short], [short], 16000)
+    assert np.isnan(dev_short[0])
+    assert np.isnan(pesq_mos_aligned(np.float64(short), np.float64(short)))
+
+
+def test_device_stoi_matches_host(rng):
+    from drnmf_tpu.metrics.stoi_device import stoi_packed_device
+
+    ests, refs = _engine_battery(rng)
+    dev = stoi_packed_device(refs, ests, 16000)
+    for i in range(len(ests)):
+        host = stoi(refs[i], ests[i], 16000)
+        np.testing.assert_allclose(dev[i], host, atol=1e-3,
+                                   err_msg=f"pair {i}")
+
+
+def test_engine_matches_per_file_paths(rng):
+    """score_all_packed (one shared transfer, all metrics on device)
+    agrees with the per-file host/fused paths on every column."""
+    from drnmf_tpu.metrics.engine import score_all_packed
+    from drnmf_tpu.metrics.scoring import _score_pair
+
+    ests, refs = _engine_battery(rng)
+    S, delays = score_all_packed(ests, refs, 16000)
+    assert np.all(delays == 0)
+    for i in range(len(ests)):
+        want = _score_pair(ests[i], refs[i], 16000)
+        np.testing.assert_allclose(S[i], want, rtol=5e-4, atol=2e-3,
+                                   err_msg=f"pair {i}")
+
+
+def test_engine_alignment_guard(rng):
+    """A deliberately shifted estimate is detected (nonzero delay) and
+    re-scored after compensation, landing near the aligned scores
+    (VERDICT r2 next #4: misalignment must not silently tank metrics)."""
+    from drnmf_tpu.metrics.engine import score_all_packed
+
+    ref = _speechlike(rng, 20000)
+    est = ref + 0.05 * rng.standard_normal(len(ref)).astype(np.float32)
+    shift = 160  # 10 ms
+    est_shifted = np.concatenate(
+        [np.zeros(shift, np.float32), est[:-shift]])
+
+    S_aligned, d0 = score_all_packed([est], [ref], 16000)
+    S_shift, d1 = score_all_packed([est_shifted], [ref], 16000)
+    assert d0[0] == 0
+    assert d1[0] == shift
+    # compensated scores are close to the aligned ones (the shifted pair
+    # loses `shift` samples at the edges)
+    np.testing.assert_allclose(S_shift[0], S_aligned[0], rtol=0.05,
+                               atol=0.25)
+    # without the guard a LARGE shift collapses the shift-sensitive
+    # metrics (SDR alone absorbs shifts < 512 samples via its projection
+    # filter); with it, the compensated scores stay near the aligned ones
+    big = 1000  # 62 ms
+    est_big = np.concatenate([np.zeros(big, np.float32), est[:-big]])
+    S_big, d2 = score_all_packed([est_big], [ref], 16000)
+    assert d2[0] == big
+    naive_segsnr = snrseg(est_big, ref, 16000)[0]
+    assert S_big[0][2] > naive_segsnr + 2.0
+    np.testing.assert_allclose(S_big[0][2], S_aligned[0][2], atol=1.0)
+
+
+def _anchor_speech(fs=16000, seconds=4.0):
+    """The anchor test's speech-like carrier (harmonic + voiced envelope)."""
+    t = np.arange(int(fs * seconds)) / fs
+    f0 = 140 * (1 + 0.1 * np.sin(2 * np.pi * 2.1 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / fs
+    x = sum(a * np.sin(k * phase)
+            for k, a in [(1, 1.0), (2, 0.6), (3, 0.4), (4, 0.25)])
+    env = np.clip(np.sin(2 * np.pi * 1.7 * t), 0, None)
+    return (x * env * 0.1).astype(np.float32)
+
+
+def _stft_simple(x, n=512, hop=256):
+    w = np.hanning(n)
+    m = (len(x) - n) // hop + 1
+    idx = np.arange(m)[:, None] * hop + np.arange(n)[None, :]
+    return np.fft.rfft(x[idx] * w, axis=-1), m
+
+
+def _istft_simple(spec, n=512, hop=256, length=None):
+    w = np.hanning(n)
+    m = spec.shape[0]
+    out = np.zeros(n + hop * (m - 1))
+    frames = np.fft.irfft(spec, n=n, axis=-1) * w
+    for i in range(m):
+        out[i * hop : i * hop + n] += frames[i]
+    # 50%-overlap Hann pairs sum to ~1 after the double window
+    out /= (w**2).sum() / hop
+    return out[:length] if length else out
+
+
+def test_pesq_mask_distortion_anchor_family(rng):
+    """Second PESQ anchor family (VERDICT r2 next #4): mask-style
+    distortions -- additive musical noise (isolated random time-frequency
+    atoms) and time-varying spectral deletion (randomly gated spectrogram
+    bins) -- the distortion class produced by mask-based enhancement,
+    distinct from additive white noise.  Asserts monotone degradation with
+    distortion severity and cross-family consistency (a lightly-distorted
+    signal from either family outranks a heavily-distorted one from the
+    other), i.e. the three calibrated scalars transfer across distortion
+    classes.  Observed (and standard-faithful) asymmetry: ADDED energy is
+    penalized much harder than removed energy (P.862's asymmetry factor
+    only fires on additions, and its frequency compensation absorbs the
+    constant part of an attenuation as linear filtering)."""
+    fs = 16000
+    r = np.random.default_rng(11)
+    # wideband carrier (harmonics to ~3.4 kHz) -- spectral gating needs
+    # energy in the gated bands to be audible
+    t = np.arange(fs * 4) / fs
+    f0 = 140 * (1 + 0.1 * np.sin(2 * np.pi * 2.1 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / fs
+    x = sum((1.0 / k) * np.sin(k * phase) for k in range(1, 25))
+    env = np.clip(np.sin(2 * np.pi * 1.7 * t), 0, None)
+    x = (x * env * 0.1).astype(np.float32)
+
+    # --- family A: musical noise.  Add isolated random time-frequency
+    # atoms (the classic spectral-subtraction residue) at increasing
+    # density/level.  The reference is the clean signal passed through the
+    # same STFT round trip, so only the atoms differ.
+    spec, m = _stft_simple(x)
+    x_rt = _istft_simple(spec, length=len(x)).astype(np.float32)
+    peak = np.abs(spec).max()
+    mos_musical = []
+    for density, level in [(0.002, 0.05), (0.01, 0.1), (0.04, 0.2),
+                           (0.1, 0.4)]:
+        sp = spec.copy()
+        gate = r.uniform(size=sp.shape) < density
+        sp = sp + gate * level * peak * np.exp(
+            2j * np.pi * r.uniform(size=sp.shape))
+        y = _istft_simple(sp, length=len(x)).astype(np.float32)
+        mos_musical.append(pesq_16k(x_rt, y))
+    assert all(np.isfinite(mos_musical))
+    # monotone decreasing with severity
+    for a, b in zip(mos_musical, mos_musical[1:]):
+        assert b < a + 0.05, mos_musical
+    assert mos_musical[0] > 3.8  # barely-audible atoms stay high-MOS
+    assert mos_musical[-1] < mos_musical[0] - 0.8  # heavy atoms collapse
+
+    # --- family B: time-varying spectral deletion (randomly gated 16-bin
+    # blocks of increasing probability/depth -- over-aggressive masking).
+    F = spec.shape[1]
+    nb = F // 16 + 1
+    mos_gate = []
+    for p_gate, depth in [(0.1, 0.5), (0.3, 0.8), (0.5, 1.0), (0.8, 1.0)]:
+        gate = r.uniform(size=(m, nb)) < p_gate
+        gate_bins = np.repeat(gate, 16, axis=1)[:, :F]
+        y = _istft_simple(spec * (1.0 - depth * gate_bins),
+                          length=len(x)).astype(np.float32)
+        mos_gate.append(pesq_16k(x_rt, y))
+    assert all(np.isfinite(mos_gate))
+    for a, b in zip(mos_gate, mos_gate[1:]):
+        assert b < a + 0.05, mos_gate
+    assert mos_gate[0] > 4.2
+    assert mos_gate[-1] < mos_gate[0] - 0.5
+
+    # --- cross-family consistency: light distortion of either family
+    # outranks heavy distortion of the other
+    assert mos_musical[0] > mos_gate[-1] + 0.3
+    assert mos_gate[0] > mos_musical[-1] + 0.3
