@@ -81,6 +81,73 @@ def import_drnmf_keras_weights(h5path):
     return params
 
 
+def validate_drnmf_import(params, config):
+    """Shape-check an imported DR-NMF parameter dict against a DRNMFConfig,
+    catching the silent failure modes of a layout mismatch: transposed head
+    kernels ((F, r) vs (r, F)), tied-vs-untied key sets, and wrong
+    hidden/input dimensions.  Raises ValueError naming the offender."""
+    f, r, n2r = config.input_dim, config.r, config.hidden_dim
+    expect = {
+        "log_U1": (n2r, n2r), "log_Uk": (n2r, n2r),
+        "log_W_clean": (r, f), "log_W_noise": (r, f),
+    }
+    if config.nonnegative:
+        expect["log_h0"] = (n2r,)
+    alph_shape = (n2r,) if config.untie_alph else ()
+    for base, shape in (("log_D", (f, n2r)), ("log_alph", alph_shape),
+                        ("log_lam1", ())):
+        names = ([f"{base}_{k}" for k in range(config.K_layers)]
+                 if base in config.params_untied else [base])
+        for name in names:
+            expect[name] = shape
+    missing = sorted(set(expect) - set(params))
+    extra = sorted(set(params) - set(expect))
+    if missing or extra:
+        raise ValueError(
+            f"imported DR-NMF params do not match the config's key set "
+            f"(missing: {missing}, unexpected: {extra}) -- check K_layers/"
+            f"params_untied against the reference run's YAML")
+    for name, shape in expect.items():
+        got = tuple(np.shape(params[name]))
+        if got != tuple(shape):
+            hint = (" (transposed? the reference stores head kernels as "
+                    "(r, F) and log_D as (F, 2r))"
+                    if got == tuple(shape)[::-1] and len(shape) == 2 else "")
+            raise ValueError(
+                f"imported param '{name}' has shape {got}, expected "
+                f"{tuple(shape)}{hint}")
+    return params
+
+
+def validate_lstm_import(params, config):
+    """Shape-check an imported LSTM parameter dict against an LSTMConfig
+    (same failure modes as validate_drnmf_import)."""
+    f, n = config.input_dim, config.hidden_dim
+    expect = {"dense_W": (n, config.output_dim),
+              "dense_b": (config.output_dim,)}
+    for k in range(config.K_layers):
+        inp = f if k == 0 else n
+        expect[f"lstm{k}_Wx"] = (inp, 4 * n)
+        expect[f"lstm{k}_Wh"] = (n, 4 * n)
+        expect[f"lstm{k}_b"] = (4 * n,)
+    missing = sorted(set(expect) - set(params))
+    extra = sorted(set(params) - set(expect))
+    if missing or extra:
+        raise ValueError(
+            f"imported LSTM params do not match the config's key set "
+            f"(missing: {missing}, unexpected: {extra}) -- check K_layers/"
+            f"hidden_dim against the reference run's YAML")
+    for name, shape in expect.items():
+        got = tuple(np.shape(params[name]))
+        if got != shape:
+            hint = (" (transposed?)" if got == shape[::-1]
+                    and len(shape) == 2 else "")
+            raise ValueError(
+                f"imported param '{name}' has shape {got}, expected "
+                f"{shape}{hint}")
+    return params
+
+
 def import_lstm_keras_weights(h5path):
     """Reference LSTM-baseline HDF5 -> this framework's parameter dict."""
     import h5py

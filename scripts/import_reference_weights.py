@@ -30,6 +30,11 @@ def main():
     parser.add_argument("h5file", help="reference Keras HDF5 weights")
     parser.add_argument("-o", "--out", default=None,
                         help="output .npz (default: same name, .npz)")
+    parser.add_argument("-c", "--config", default=None,
+                        help="model YAML of the reference run; if given, "
+                        "imported shapes are validated against it "
+                        "(catches transposed/mismatched layouts)")
+    parser.add_argument("--n-fft", type=int, default=512)
     args = parser.parse_args()
 
     if not os.path.isfile(args.h5file):
@@ -44,6 +49,26 @@ def main():
             f"cannot infer model type from filename '{name}' "
             "(expected an 'unfolded_snmf' or 'lstm' substring)"
         )
+
+    if args.config:
+        from drnmf_tpu.utils import load_yaml
+        from drnmf_tpu.utils.convert import (
+            validate_drnmf_import, validate_lstm_import)
+
+        cfg = load_yaml(args.config)
+        f_bins = args.n_fft // 2 + 1
+        if "unfolded_snmf" in name:
+            from drnmf_tpu.pipeline import drnmf_config_from_params
+
+            validate_drnmf_import(
+                params, drnmf_config_from_params(cfg, f_bins))
+        else:
+            from drnmf_tpu.models import LSTMConfig
+
+            validate_lstm_import(params, LSTMConfig(
+                input_dim=f_bins, hidden_dim=int(cfg["hidden_dim"]),
+                output_dim=f_bins, K_layers=int(cfg["K_layers"])))
+        print("shape validation against config: OK")
 
     out = args.out or os.path.splitext(args.h5file)[0] + ".npz"
     save_checkpoint(out, params)
