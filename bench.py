@@ -225,6 +225,90 @@ def bench_train():
     }))
 
 
+def bench_loop():
+    """Training LOOP throughput (host-side orchestration included):
+    train_model's dispatch pattern over a synthetic epoch, (a) with the
+    round-3 device loss accumulator (one history fetch per epoch) vs
+    (b) the round-2 behavior of fetching float(loss) after every step.
+    Quantifies VERDICT r2 weak #2 directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from drnmf_tpu.models import (
+        DRNMFConfig, init_drnmf_params, drnmf_apply, drnmf_trainable_mask)
+    from drnmf_tpu.train import (
+        TrainConfig, make_optimizer, masked_mse_signal_approx)
+    from drnmf_tpu.train.loop import make_train_step
+
+    config = DRNMFConfig(
+        input_dim=257, r=1000, output_dim=257, K_layers=5,
+        alph=400.0, lam1=1.0,
+        params_untied=("log_D", "log_alph"),
+        params_trainable=("log_D", "log_alph"),
+    )
+    rng = np.random.default_rng(7654)
+    w = rng.uniform(0.01, 1.0, (257, 2000)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    base_params = init_drnmf_params(config, w)
+
+    def loss_fn(p, x, y, mask):
+        irm = drnmf_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    tmask = drnmf_trainable_mask(config, base_params)
+    bsz, maxlen, n_steps = 32, 500, 30
+    # batches generated on device (the tunnel would dominate host->device
+    # streaming; the loop's per-step overhead is what we measure here)
+    key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    x = jax.random.uniform(kx, (bsz, maxlen, 257), jnp.float32, 0.0, 2.0)
+    y = jax.random.uniform(ky, (bsz, maxlen, 257), jnp.float32, 0.0, 1.0)
+    mask = jnp.ones((bsz, maxlen), jnp.float32)
+
+    results = {}
+    for mode in ("accumulate", "per_step_fetch"):
+        opt = make_optimizer(TrainConfig(learning_rate=1e-3), tmask)
+        params = jax.device_put({k: jnp.array(np.asarray(v), copy=True)
+                                 for k, v in base_params.items()})
+        opt_state = opt.init(params)
+        acc = mode == "accumulate"
+        step = make_train_step(loss_fn, opt, accumulate_loss=acc)
+        loss_buf = jnp.zeros(n_steps, jnp.float32)
+
+        def epoch(params, opt_state, loss_buf):
+            losses = []
+            for bi in range(n_steps):
+                if acc:
+                    params, opt_state, loss_buf = step(
+                        params, opt_state, loss_buf, np.int32(bi), x, y, mask)
+                else:
+                    params, opt_state, loss = step(params, opt_state,
+                                                   x, y, mask)
+                    losses.append(float(loss))  # round-2: blocking fetch
+            if acc:
+                losses = [float(v) for v in np.asarray(loss_buf)[:n_steps]]
+            return params, opt_state, loss_buf, losses
+
+        # warmup/compile
+        params, opt_state, loss_buf, _ = epoch(params, opt_state, loss_buf)
+        jax.block_until_ready(params["log_D_0"])
+        t0 = time.perf_counter()
+        params, opt_state, loss_buf, losses = epoch(params, opt_state, loss_buf)
+        jax.block_until_ready(params["log_D_0"])
+        wall = time.perf_counter() - t0
+        results[mode] = n_steps / wall
+
+    speedup = results["accumulate"] / results["per_step_fetch"]
+    print(json.dumps({
+        "metric": "train_loop_steps_per_second",
+        "value": round(results["accumulate"], 2),
+        "unit": "steps_per_s",
+        "per_step_fetch_steps_per_s": round(results["per_step_fetch"], 2),
+        "speedup_vs_per_step_fetch": round(speedup, 3),
+        "epoch_seconds_full_chime2": round(17296 / results["accumulate"], 1),
+    }))
+
+
 def bench_snmf():
     """Sparse NMF dictionary training at the reference's GPU-chunk scale:
     r=1000 (2r=2000 atoms), F=257, one full 140k-frame chunk
@@ -317,8 +401,19 @@ def bench_score():
         S[:, 5] = stoi_vals
         return S
 
+    def engine():
+        # round-3 engine: ALL metrics on device, one shared packed
+        # transfer per bucket (PESQ/STOI device ports + fused program)
+        from drnmf_tpu.metrics.engine import score_all_packed
+
+        ests = [p[0] for p in pairs]
+        refs = [p[1] for p in pairs]
+        S, _ = score_all_packed(ests, refs, fs)
+        return S
+
     results = {}
-    for name, fn in (("per_file", per_file), ("packed", packed)):
+    for name, fn in (("per_file", per_file), ("packed", packed),
+                     ("engine", engine)):
         fn()  # warm compile caches
         t0 = time.perf_counter()
         S = fn()
@@ -326,14 +421,18 @@ def bench_score():
 
     rtf_pf, S_pf = results["per_file"]
     rtf_b, S_b = results["packed"]
+    rtf_e, S_e = results["engine"]
     agree = float(np.max(np.abs(S_pf - S_b)))
+    agree_engine = float(np.max(np.abs(S_pf - S_e)))
     print(json.dumps({
         "metric": "scoring_rtf_per_chip",
-        "value": round(max(rtf_pf, rtf_b), 2),
+        "value": round(max(rtf_pf, rtf_b, rtf_e), 2),
         "unit": "x_realtime",
         "per_file_rtf": round(rtf_pf, 2),
         "packed_rtf": round(rtf_b, 2),
+        "engine_rtf": round(rtf_e, 2),
         "max_abs_path_disagreement": round(agree, 4),
+        "max_abs_engine_disagreement": round(agree_engine, 4),
     }))
 
 
@@ -342,6 +441,8 @@ if __name__ == "__main__":
     main()
     if "--train" in sys.argv:
         bench_train()
+    if "--loop" in sys.argv:
+        bench_loop()
     if "--snmf" in sys.argv:
         bench_snmf()
     if "--score" in sys.argv:
