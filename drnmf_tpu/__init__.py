@@ -21,6 +21,6 @@ as an idiomatic JAX framework:
 
 __version__ = "0.1.0"
 
-from .streaming import StreamingEnhancer
+from .streaming import StreamingEnhancer, MultiStreamEnhancer
 
-__all__ = ["StreamingEnhancer", "__version__"]
+__all__ = ["StreamingEnhancer", "MultiStreamEnhancer", "__version__"]

@@ -97,6 +97,138 @@ def _make_block_step(config: DRNMFConfig, n_fft: int, hop: int):
     return step
 
 
+def _make_block_step_multi(config: DRNMFConfig, n_fft: int, hop: int):
+    """jit'd batched block step: (params, frames (S, k, n_fft), h (S, 2r),
+    acc (S, n_fft)) -> (out (S, k*hop), h', acc').  The S streams advance
+    in lockstep through ONE device program -- the serving configuration
+    that fills the MXU (B=1 per-block dispatches leave its rows idle and
+    measure the host tunnel more than the chip; RESULTS.md streaming)."""
+    window = jnp.asarray(sqrt_hann_periodic(n_fft))
+    syn = window * jnp.float32(2.0 / (n_fft / hop))
+
+    @jax.jit
+    def step(params, frames, h, acc):
+        U, S, W, b = _effective_matrices(params, config, fold_u=True,
+                                         factor_s=True)
+        fr = frames * window  # (S, k, n_fft)
+        if _use_mxu_dft():
+            cos_a, sin_a, syn_cos, syn_sin = (jnp.asarray(m) for m in
+                                              _dft_matrices(n_fft))
+            re = jnp.dot(fr, cos_a, precision=jax.lax.Precision.HIGHEST)
+            im = jnp.dot(fr, sin_a, precision=jax.lax.Precision.HIGHEST)
+        else:
+            spec = jnp.fft.rfft(fr, axis=-1)
+            re, im = jnp.real(spec), jnp.imag(spec)
+        mag = jnp.sqrt(re * re + im * im)  # (S, k, F)
+
+        cell = make_cell_step(config, U, S, W, b)
+
+        def scan_cell(h_prev, x_t):  # h: (S, 2r), x_t: (S, F)
+            hidden = cell(h_prev, x_t)
+            return hidden, hidden
+
+        h_fin, hs = jax.lax.scan(scan_cell, h, jnp.swapaxes(mag, 0, 1))
+        hs = jnp.swapaxes(hs, 0, 1)  # (S, k, 2r)
+        clean_est, noise_est = _heads(params, config, hs)
+        irm = _ratio_mask(clean_est, noise_est, config.transform_before_irm)
+
+        re_m, im_m = re * irm, im * irm
+        if _use_mxu_dft():
+            xr = (jnp.dot(re_m, syn_cos, precision=jax.lax.Precision.HIGHEST)
+                  + jnp.dot(im_m, syn_sin, precision=jax.lax.Precision.HIGHEST))
+        else:
+            xr = jnp.fft.irfft(jax.lax.complex(re_m, im_m), n=n_fft, axis=-1)
+        xr = xr * syn  # (S, k, n_fft)
+
+        def ola(carry, frame):  # carry: (S, n_fft), frame: (S, n_fft)
+            carry = carry + frame
+            out = carry[:, :hop]
+            carry = jnp.concatenate(
+                [carry[:, hop:], jnp.zeros((carry.shape[0], hop), jnp.float32)],
+                axis=1)
+            return carry, out
+
+        acc, outs = jax.lax.scan(ola, acc, jnp.swapaxes(xr, 0, 1))
+        # outs: (k, S, hop) -> (S, k*hop)
+        out = jnp.swapaxes(outs, 0, 1).reshape(acc.shape[0], -1)
+        return out, h_fin, acc
+
+    return step
+
+
+class MultiStreamEnhancer:
+    """Batched online enhancement of S independent streams in lockstep.
+
+    Each stream has the exact semantics of :class:`StreamingEnhancer`
+    (same edge pads, trims, carried state); the S per-block device
+    dispatches collapse into one, so serving throughput scales with the
+    batch instead of being dispatch-bound.  Streams are synchronized: each
+    ``step`` consumes ``block_frames * hop`` samples from EVERY stream and
+    returns the per-stream samples that became final.  A finished stream's
+    slot can be recycled with :meth:`reset_stream`.
+    """
+
+    def __init__(self, params, config: DRNMFConfig, n_streams: int,
+                 n_fft: int = 512, hop: int = 128, block_frames: int = 16):
+        if config.dropout_W or config.dropout_U:
+            raise NotImplementedError(
+                "streaming is an inference path; dropout configs are "
+                "training-only")
+        if config.nonnegative:
+            h0 = jax.nn.softplus(params["log_h0"])
+        else:
+            h0 = params["h0"]
+        self.params = params
+        self.config = config
+        self.n_streams = n_streams
+        self.n_fft, self.hop, self.block = n_fft, hop, block_frames
+        self._step = _make_block_step_multi(config, n_fft, hop)
+        self._h0 = jnp.asarray(h0)
+        self._h = jnp.broadcast_to(
+            self._h0[None, :], (n_streams, self._h0.shape[0])
+        ) + jnp.zeros((n_streams, 1), jnp.float32)
+        self._acc = jnp.zeros((n_streams, n_fft), jnp.float32)
+        # per-stream host state, exactly StreamingEnhancer.reset()'s
+        self._buf = [np.zeros(n_fft, np.float32) for _ in range(n_streams)]
+        self._skip = np.full(n_streams, n_fft, np.int64)
+
+    @property
+    def block_samples(self) -> int:
+        return self.block * self.hop
+
+    def reset_stream(self, i: int):
+        self._h = self._h.at[i].set(self._h0)
+        self._acc = self._acc.at[i].set(0.0)
+        self._buf[i] = np.zeros(self.n_fft, np.float32)
+        self._skip[i] = self.n_fft
+
+    def step(self, samples: np.ndarray):
+        """samples: (S, block_frames*hop) new input per stream.  Returns a
+        list of S arrays with each stream's enhanced samples that became
+        final this step (shorter during the initial latency fill, exactly
+        like StreamingEnhancer.process)."""
+        S, n_fft, hop, k = self.n_streams, self.n_fft, self.hop, self.block
+        samples = np.asarray(samples, np.float32).reshape(S, k * hop)
+        need = (k - 1) * hop + n_fft
+        idx = np.arange(k)[:, None] * hop + np.arange(n_fft)[None, :]
+        frames = np.empty((S, k, n_fft), np.float32)
+        for s in range(S):
+            self._buf[s] = np.concatenate([self._buf[s], samples[s]])
+            assert len(self._buf[s]) >= need
+            frames[s] = self._buf[s][:need][idx]
+            self._buf[s] = self._buf[s][k * hop:]
+        out, self._h, self._acc = self._step(
+            self.params, jnp.asarray(frames), self._h, self._acc)
+        out = np.asarray(out)
+        finals = []
+        for s in range(S):
+            o = out[s]
+            cut = int(min(self._skip[s], len(o)))
+            self._skip[s] -= cut
+            finals.append(o[cut:])
+        return finals
+
+
 class StreamingEnhancer:
     """Stateful online enhancer over a trained DR-NMF model.
 

@@ -157,3 +157,54 @@ def test_serve_protocol_matches_offline(rng, small_model):
     assert len(streamed) >= len(offline)
     np.testing.assert_allclose(streamed[: len(offline)], offline,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_multistream_equals_per_stream(rng):
+    """MultiStreamEnhancer: S lockstep streams through ONE batched block
+    step equal S independent StreamingEnhancers sample for sample
+    (including the latency fill and a mid-run stream reset)."""
+    import jax.numpy as jnp
+    from drnmf_tpu.streaming import StreamingEnhancer, MultiStreamEnhancer
+
+    f, r, K = 33, 4, 2
+    n_fft, hop, block = 64, 16, 4
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                         alph=10.0, lam1=0.3,
+                         params_untied=("log_D", "log_alph"))
+    params = init_drnmf_params(config, w)
+
+    S = 3
+    n_steps = 6
+    blk = block * hop
+    sigs = [rng.uniform(-0.5, 0.5, (n_steps * blk,)).astype(np.float32)
+            for _ in range(S)]
+
+    multi = MultiStreamEnhancer(params, config, S, n_fft=n_fft, hop=hop,
+                                block_frames=block)
+    got = [[] for _ in range(S)]
+    for t in range(n_steps):
+        outs = multi.step(np.stack([sig[t * blk:(t + 1) * blk]
+                                    for sig in sigs]))
+        for s in range(S):
+            got[s].append(outs[s])
+    got = [np.concatenate(g) for g in got]
+
+    for s in range(S):
+        single = StreamingEnhancer(params, config, n_fft=n_fft, hop=hop,
+                                   block_frames=block)
+        want = []
+        for t in range(n_steps):
+            want.append(single.process(sigs[s][t * blk:(t + 1) * blk]))
+        want = np.concatenate(want)
+        np.testing.assert_allclose(got[s], want, atol=2e-6,
+                                   err_msg=f"stream {s}")
+
+    # recycling a slot restarts that stream exactly
+    multi.reset_stream(1)
+    outs = multi.step(np.stack([sig[:blk] for sig in sigs]))
+    fresh = StreamingEnhancer(params, config, n_fft=n_fft, hop=hop,
+                              block_frames=block)
+    want0 = fresh.process(sigs[1][:blk])
+    np.testing.assert_allclose(outs[1], want0, atol=2e-6)
