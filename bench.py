@@ -309,6 +309,66 @@ def bench_loop():
     }))
 
 
+def bench_serving():
+    """Multi-stream serving steady state: aggregate real-time factor vs
+    concurrent stream count for the flagship model (VERDICT r2 next #6 --
+    the B=1 numbers measured the axon tunnel, not the chip; batching the
+    per-block step across streams is the configuration that exercises it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.streaming import MultiStreamEnhancer
+
+    fs, n_fft, hop = 16000, 512, 128
+    config = DRNMFConfig(
+        input_dim=257, r=1000, output_dim=257, K_layers=5,
+        alph=400.0, lam1=1.0,
+        params_untied=("log_D", "log_alph"),
+        params_trainable=("log_D", "log_alph"),
+    )
+    rng = np.random.default_rng(7654)
+    w = rng.uniform(0.01, 1.0, (257, 2000)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = jax.device_put(init_drnmf_params(config, w))
+
+    rows = []
+    for block in (16, 64):
+        for n_streams in (1, 4, 16, 64):
+            enh = MultiStreamEnhancer(params, config, n_streams,
+                                      n_fft=n_fft, hop=hop,
+                                      block_frames=block)
+            blk = enh.block_samples
+            chunk = 0.1 * rng.standard_normal(
+                (n_streams, blk)).astype(np.float32)
+            for _ in range(3):  # warm: compile + latency fill
+                enh.step(chunk)
+            n_iter = 20
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                out = enh.step(chunk)
+            wall = (time.perf_counter() - t0) / n_iter
+            audio_s = n_streams * blk / fs
+            rows.append({
+                "block_frames": block,
+                "n_streams": n_streams,
+                "aggregate_rtf": round(audio_s / wall, 1),
+                "per_stream_rtf": round(audio_s / wall / n_streams, 2),
+                "step_ms": round(wall * 1e3, 2),
+                "latency_ms": round(1000.0 * ((block - 1) * hop + n_fft)
+                                    / fs, 1),
+            })
+            del out
+    best = max(rows, key=lambda r: r["aggregate_rtf"])
+    print(json.dumps({
+        "metric": "serving_aggregate_rtf",
+        "value": best["aggregate_rtf"],
+        "unit": "x_realtime",
+        "best": best,
+        "table": rows,
+    }))
+
+
 def bench_snmf():
     """Sparse NMF dictionary training at the reference's GPU-chunk scale:
     r=1000 (2r=2000 atoms), F=257, one full 140k-frame chunk
@@ -358,6 +418,7 @@ def bench_score():
     rng = np.random.default_rng(7)
     n_files = 64
     pairs = []
+    pairs_i16 = []
     audio_seconds = 0.0
     for i in range(n_files):
         n = int(fs * rng.uniform(2.0, 5.0))
@@ -366,7 +427,16 @@ def bench_score():
         ref = (0.1 * np.sin(2 * np.pi * f0 * t)
                * (0.5 + 0.5 * np.sin(2 * np.pi * 2.0 * t))).astype(np.float32)
         est = ref + 0.02 * rng.standard_normal(n).astype(np.float32)
-        pairs.append((est, ref))
+        # quantize to PCM16 like wav files (all paths see identical values;
+        # the engine ships the int16 bytes and dequantizes on device)
+        def q(x):
+            return np.clip(np.round(x * 32768.0), -32768, 32767).astype(
+                np.int16)
+
+        est_i, ref_i = q(est), q(ref)
+        pairs.append((est_i.astype(np.float32) / 32768.0,
+                      ref_i.astype(np.float32) / 32768.0))
+        pairs_i16.append((est_i, ref_i))
         audio_seconds += n / fs
 
     def per_file():
@@ -402,12 +472,12 @@ def bench_score():
         return S
 
     def engine():
-        # round-3 engine: ALL metrics on device, one shared packed
+        # round-3 engine: ALL metrics on device, one shared packed int16
         # transfer per bucket (PESQ/STOI device ports + fused program)
         from drnmf_tpu.metrics.engine import score_all_packed
 
-        ests = [p[0] for p in pairs]
-        refs = [p[1] for p in pairs]
+        ests = [p[0] for p in pairs_i16]
+        refs = [p[1] for p in pairs_i16]
         S, _ = score_all_packed(ests, refs, fs)
         return S
 
@@ -443,6 +513,8 @@ if __name__ == "__main__":
         bench_train()
     if "--loop" in sys.argv:
         bench_loop()
+    if "--serve" in sys.argv:
+        bench_serving()
     if "--snmf" in sys.argv:
         bench_snmf()
     if "--score" in sys.argv:

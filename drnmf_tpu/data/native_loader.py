@@ -69,6 +69,17 @@ def get_lib():
         ctypes.c_int32,
     ]
     lib.wav_write.restype = ctypes.c_int
+    if hasattr(lib, "wav_read_batch_i16"):
+        lib.wav_read_batch_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.wav_read_batch_i16.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -110,6 +121,42 @@ def read_batch(paths, n_threads=0):
         c_paths,
         n,
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_len,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    if bad:
+        failed = [paths[i] for i in range(n) if rcs[i] != 0]
+        raise IOError(f"{bad} wav decodes failed, first: {failed[:3]}")
+    return data, lengths
+
+
+def read_batch_i16(paths, n_threads=0):
+    """Parallel-decode channel 0 as RAW PCM16 (no float conversion).
+
+    Returns (data (n, max_len) int16 zero-padded, lengths (n,) int64).
+    The scoring engine ships these bytes to the device and dequantizes
+    there (x * 1/32768, identical values to the float path) -- HALF the
+    host->device transfer, which dominates engine wall behind the axon
+    tunnel.  Requires a libdrnmfio.so built with wav_read_batch_i16
+    (ensure_built rebuilds on demand); returns None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wav_read_batch_i16"):
+        return None
+    n = len(paths)
+    max_len = 0
+    for p in paths:
+        nsampl, _, _ = wav_info(p)
+        max_len = max(max_len, nsampl)
+    data = np.zeros((n, max_len), np.int16)
+    lengths = np.zeros(n, np.int64)
+    rcs = np.zeros(n, np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    bad = lib.wav_read_batch_i16(
+        c_paths,
+        n,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         max_len,
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

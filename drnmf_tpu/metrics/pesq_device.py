@@ -64,7 +64,8 @@ def _masked_hann_power(rows, lengths, fs, flen, lo, hi):
     t = jnp.arange(fr.shape[1])
     valid = (t[None, :] < m2[:, None]).astype(jnp.float32)  # (B, T2)
     p = jnp.abs(spec) ** 2  # (B, T2, F2)
-    total = jnp.einsum("btf,bt,f->b", p, valid, band)
+    total = jnp.einsum("btf,bt,f->b", p, valid, band,
+                   precision=jax.lax.Precision.HIGHEST)
     count = jnp.maximum(m2.astype(jnp.float32) * jnp.sum(band), 1.0)
     return total / count
 
@@ -125,8 +126,10 @@ def pesq_rows(ref_rows, deg_rows, lengths, fs: int = 16000):
     # --- Bark pitch power densities
     M = jnp.asarray(_band_matrix(fs, flen).astype(np.float32))  # (49, F)
     norm = np.float32(_SP * _POWER_SCALE / np.mean(np.hanning(flen) ** 2))
-    rb = jnp.einsum("btf,nf->btn", rp, M) * norm  # (B, T, 49)
-    db = jnp.einsum("btf,nf->btn", dp, M) * norm
+    rb = jnp.einsum("btf,nf->btn", rp, M,
+                precision=jax.lax.Precision.HIGHEST) * norm  # (B, T, 49)
+    db = jnp.einsum("btf,nf->btn", dp, M,
+                    precision=jax.lax.Precision.HIGHEST) * norm
     rb = rb * tvf[:, :, None]  # zero the padded frames
     db = db * tvf[:, :, None]
 
@@ -152,8 +155,10 @@ def pesq_rows(ref_rows, deg_rows, lengths, fs: int = 16000):
     cnt = jnp.maximum(n_active.astype(jnp.float32), 1.0)[:, None]
 
     # --- partial frequency compensation of the reference
-    mean_r = jnp.einsum("btn,bt->bn", rb, af) / cnt
-    mean_d = jnp.einsum("btn,bt->bn", db, af) / cnt
+    mean_r = jnp.einsum("btn,bt->bn", rb, af,
+                    precision=jax.lax.Precision.HIGHEST) / cnt
+    mean_d = jnp.einsum("btn,bt->bn", db, af,
+                        precision=jax.lax.Precision.HIGHEST) / cnt
     ratio = jnp.clip((mean_d + 1000.0) / (mean_r + 1000.0), 0.01, 100.0)
     rb_eq = rb * ratio[:, None, :]
 

@@ -85,11 +85,9 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
         # Measured on v5e behind the axon tunnel (bench.py --score,
         # 64 files): 35-60% faster than the per-file pool, bit-identical
         # scores.
-        from ..data.native_loader import read_batch, wav_info
+        from ..data.native_loader import read_batch, read_batch_i16, wav_info
         from .fused import fused_metrics_packed
 
-        enh_data, enh_len = read_batch(list(enhanced_files))
-        ref_data, ref_len = read_batch(list(reference_files))
         # per-pair sample-rate check (header reads are cheap), preserving the
         # scipy path's fs-mismatch error semantics
         fs_ref = [wav_info(p)[2] for p in reference_files]
@@ -100,10 +98,23 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
                     f"fs mismatch: {fe} vs {fr} for {enhanced_files[i]}"
                 )
 
+        engine_path = len(set(fs_ref)) == 1 and fs_ref[0] == 16000
+        if engine_path:
+            # raw PCM16 decode: the engine dequantizes on device, halving
+            # the dominant host->device transfer (engine.py docstring)
+            i16 = read_batch_i16(list(enhanced_files))
+            ref_i16 = read_batch_i16(list(reference_files)) if i16 else None
+        if engine_path and i16 is not None and ref_i16 is not None:
+            enh_data, enh_len = i16
+            ref_data, ref_len = ref_i16
+        else:
+            enh_data, enh_len = read_batch(list(enhanced_files))
+            ref_data, ref_len = read_batch(list(reference_files))
+
         ests = [enh_data[i, : enh_len[i]] for i in range(len(pairs))]
         refs = [ref_data[i, : ref_len[i]] for i in range(len(pairs))]
 
-        if len(set(fs_ref)) == 1 and fs_ref[0] == 16000:
+        if engine_path:
             # the round-3 engine: PESQ and STOI run ON DEVICE alongside the
             # fused SDR/SNR/SegSNR program, sharing one packed transfer per
             # bucket -- no host metric math, no thread-pool serialization

@@ -65,7 +65,8 @@ def resample_rows_16k_to_10k(rows, lengths):
     pad_lo = _H_PAD.shape[0] - 1
     out = jax.lax.conv_general_dilated(
         rows[:, None, :], rhs[None, None, :], window_strides=(_DOWN,),
-        padding=[(pad_lo, pad_lo)], lhs_dilation=(_UP,))
+        padding=[(pad_lo, pad_lo)], lhs_dilation=(_UP,),
+        precision=jax.lax.Precision.HIGHEST)
     res = out[:, 0, _N_PRE_REMOVE : _N_PRE_REMOVE + L10]
     if res.shape[1] < L10:  # conv output can end one stride short
         res = jnp.pad(res, ((0, 0), (0, L10 - res.shape[1])))
@@ -133,8 +134,10 @@ def stoi_rows(ref_rows, est_rows, lengths, fs: int = 16000):
     spec_y = jnp.fft.rfft(yf2, n=N_FFT, axis=-1)
     Hb = jnp.asarray(_H_BANDS)
     xb = jnp.sqrt(jnp.einsum("btf,nf->bnt", jnp.abs(spec_x) ** 2, Hb,
+                             precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32))
     yb = jnp.sqrt(jnp.einsum("btf,nf->bnt", jnp.abs(spec_y) ** 2, Hb,
+                             precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32))
 
     # --- segment correlations (the packed device stage of stoi.py)

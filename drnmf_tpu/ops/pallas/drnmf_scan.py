@@ -210,11 +210,64 @@ def _kernel_factored(x_ref, m_ref, h0_ref, fold_ref, dkt_ref, dka_ref,
     h_carry[:] = h_prev
 
 
+def _kernel_factored_interleaved(x_ref, m_ref, h0_ref, fold_ref, dkt_ref,
+                                 dka_ref, b_ref, out_ref, h_carry, *,
+                                 k_layers, block_t, half):
+    """Two independent batch groups per grid step (DESIGN §7 experiment):
+    the factored step's 3K-1 matmuls form one DEPENDENT chain, so the MXU
+    stalls between them; splitting the batch into two halves exposes two
+    independent chains whose matmuls the scheduler can overlap -- each
+    group's matmul issues during the other's dependency stall.  Costs half
+    the M dimension per matmul (64 rows at B=128), wins if stall overlap
+    beats the lost row occupancy."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_carry[:] = h0_ref[:]
+
+    diag1 = fold_ref[0][None, :]
+    off1 = fold_ref[1][0]
+    c_uk = fold_ref[2][0]
+
+    h_a = h_carry[:half]
+    h_b = h_carry[half:]
+    for ct in range(block_t):
+        x_a = x_ref[ct, :half]
+        x_b = x_ref[ct, half:]
+        rs_a = jnp.sum(h_a, axis=1, keepdims=True)
+        rs_b = jnp.sum(h_b, axis=1, keepdims=True)
+        u_first_a = h_a * (diag1 - off1) + off1 * rs_a
+        u_first_b = h_b * (diag1 - off1) + off1 * rs_b
+        u_rest_a = c_uk * rs_a
+        u_rest_b = c_uk * rs_b
+        hid_a = hid_b = None
+        for k in range(k_layers):
+            if k == 0:
+                pre_a = u_first_a + _dot(x_a, dka_ref[0])
+                pre_b = u_first_b + _dot(x_b, dka_ref[0])
+            else:
+                resid_a = x_a - _dot(hid_a, dkt_ref[k - 1])
+                resid_b = x_b - _dot(hid_b, dkt_ref[k - 1])
+                pre_a = u_rest_a + hid_a + _dot(resid_a, dka_ref[k])
+                pre_b = u_rest_b + hid_b + _dot(resid_b, dka_ref[k])
+            hid_a = jnp.maximum(pre_a + b_ref[k][None, :], 0.0)
+            hid_b = jnp.maximum(pre_b + b_ref[k][None, :], 0.0)
+        m_t = m_ref[ct]
+        h_a = jnp.where(m_t[:half] > 0, hid_a, h_a)
+        h_b = jnp.where(m_t[half:] > 0, hid_b, h_b)
+        out_ref[ct, :half] = h_a
+        out_ref[ct, half:] = h_b
+    h_carry[:half] = h_a
+    h_carry[half:] = h_b
+
+
 def drnmf_scan_pallas_factored(x, step_mask, h0, diag1, off1, c_uk,
                                dkt_stack, dka_stack, b_stack,
                                interpret: bool = False,
                                vmem_limit_bytes: int | None = None,
-                               block_t: int = 2):
+                               block_t: int = 2,
+                               interleave: bool = False):
     """Factored-weights fused scan: x (B, T, F); h0 (B, 2r);
     diag1 (2r,); off1/c_uk scalars; dkt_stack (K-1, 2r, F) = Dhat_k^T
     (dummy (1, ...) when K == 1); dka_stack (K, F, 2r) = Dhat_k/alph_k;
@@ -259,8 +312,13 @@ def drnmf_scan_pallas_factored(x, step_mask, h0, diag1, off1, c_uk,
     const = lambda t: (0, 0)
     const3 = lambda t: (0, 0, 0)
 
+    if interleave and bsz % 2 == 0:
+        kern = partial(_kernel_factored_interleaved, k_layers=k_layers,
+                       block_t=block_t, half=bsz // 2)
+    else:
+        kern = partial(_kernel_factored, k_layers=k_layers, block_t=block_t)
     out = pl.pallas_call(
-        partial(_kernel_factored, k_layers=k_layers, block_t=block_t),
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_t, bsz, f), lambda t: (t, 0, 0),

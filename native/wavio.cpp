@@ -61,6 +61,38 @@ bool parse_header(FILE* f, WavMeta* meta) {
   return false;
 }
 
+// Raw int16 channel-0 read (no float conversion): the TPU scoring engine
+// transfers PCM16 bytes over the (slow) host<->device link and dequantizes
+// on device -- half the transfer of float32, measured the engine's
+// dominant cost behind the axon tunnel.
+int read_one_i16(const char* path, int16_t* out, int64_t nsampl_max,
+                 int64_t* nsampl_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavMeta meta;
+  if (!parse_header(f, &meta)) {
+    fclose(f);
+    return -2;
+  }
+  const int64_t nsampl =
+      static_cast<int64_t>(meta.data_bytes) / (2 * meta.nch);
+  const int64_t n = nsampl_max > 0 && nsampl > nsampl_max ? nsampl_max : nsampl;
+  fseek(f, meta.data_offset, SEEK_SET);
+  if (meta.nch == 1) {
+    const size_t got = fread(out, 2, static_cast<size_t>(n), f);
+    fclose(f);
+    if (got != static_cast<size_t>(n)) return -3;
+  } else {
+    std::vector<int16_t> raw(static_cast<size_t>(n) * meta.nch);
+    const size_t got = fread(raw.data(), 2, raw.size(), f);
+    fclose(f);
+    if (got != raw.size()) return -3;
+    for (int64_t i = 0; i < n; ++i) out[i] = raw[i * meta.nch];
+  }
+  if (nsampl_out) *nsampl_out = n;
+  return 0;
+}
+
 int read_one(const char* path, float* out, int nch_want, int64_t nsampl_max,
              int64_t* nsampl_out) {
   FILE* f = fopen(path, "rb");
@@ -131,6 +163,34 @@ int wav_read_batch(const char** paths, int64_t n, float* out, int64_t stride,
       memset(dst, 0, sizeof(float) * stride);
       int64_t len = 0;
       const int rc = read_one(paths[i], dst, 1, stride, &len);
+      lengths[i] = len;
+      rcs[i] = rc;
+      if (rc != 0) bad.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  const int k = static_cast<int>(n_threads < n ? n_threads : n);
+  pool.reserve(k);
+  for (int i = 0; i < k; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return bad.load();
+}
+
+// int16 variant of wav_read_batch: (n, stride) int16 matrix, zero padded.
+int wav_read_batch_i16(const char** paths, int64_t n, int16_t* out,
+                       int64_t stride, int64_t* lengths, int32_t* rcs,
+                       int32_t n_threads) {
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  std::atomic<int64_t> next(0);
+  std::atomic<int> bad(0);
+  auto worker = [&]() {
+    while (true) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int16_t* dst = out + i * stride;
+      memset(dst, 0, sizeof(int16_t) * stride);
+      int64_t len = 0;
+      const int rc = read_one_i16(paths[i], dst, stride, &len);
       lengths[i] = len;
       rcs[i] = rc;
       if (rc != 0) bad.fetch_add(1);

@@ -526,3 +526,45 @@ def test_pesq_mask_distortion_anchor_family(rng):
     # outranks heavy distortion of the other
     assert mos_musical[0] > mos_gate[-1] + 0.3
     assert mos_gate[0] > mos_musical[-1] + 0.3
+
+
+def test_engine_int16_path_matches_float(rng):
+    """Raw-PCM16 packing + on-device dequantization produces identical
+    scores to the float32 path (the transfer-halving optimization must be
+    value-exact)."""
+    from drnmf_tpu.metrics.engine import score_all_packed
+
+    ests_f, refs_f, ests_i, refs_i = [], [], [], []
+    for n in (9000, 14000):
+        ref = _speechlike(rng, n)
+        est = ref + 0.05 * rng.standard_normal(n).astype(np.float32)
+        ri = np.clip(np.round(ref * 32768), -32768, 32767).astype(np.int16)
+        ei = np.clip(np.round(est * 32768), -32768, 32767).astype(np.int16)
+        refs_i.append(ri); ests_i.append(ei)
+        refs_f.append(ri.astype(np.float32) / 32768.0)
+        ests_f.append(ei.astype(np.float32) / 32768.0)
+    S_f, d_f = score_all_packed(ests_f, refs_f, 16000)
+    S_i, d_i = score_all_packed(ests_i, refs_i, 16000)
+    np.testing.assert_array_equal(d_f, d_i)
+    np.testing.assert_allclose(S_i, S_f, rtol=1e-5, atol=1e-5)
+
+
+def test_read_batch_i16_matches_float(tmp_path, rng):
+    from drnmf_tpu.data.native_loader import (
+        native_available, read_batch, read_batch_i16)
+    from drnmf_tpu.dsp.wav import wavwrite
+
+    if not native_available():
+        pytest.skip("native loader unavailable")
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"t{i}.wav")
+        wavwrite(p, 16000,
+                 rng.uniform(-0.5, 0.5, (1, 900 + 111 * i)).astype(np.float32))
+        paths.append(p)
+    f32, l1 = read_batch(paths)
+    out = read_batch_i16(paths)
+    assert out is not None
+    i16, l2 = out
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(f32, i16.astype(np.float32) / 32768.0)

@@ -204,3 +204,37 @@ def test_factored_pallas_scan_matches_xla(rng):
         x, sm, h0, U.diag1, U.off1, U.c, dkt, dka, jnp.stack(b),
         interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_factored_pallas_interleaved_matches(rng):
+    """The two-group interleaved factored kernel (DESIGN §7 MXU-overlap
+    experiment) == the plain factored kernel."""
+    import jax
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import (
+        _effective_matrices, step_mask_from_input)
+    from drnmf_tpu.ops.pallas import drnmf_scan_pallas_factored
+
+    f, r, K = 9, 8, 3
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    cfg = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                      alph=10.0, lam1=0.5,
+                      params_untied=("log_D", "log_alph"),
+                      params_trainable=("log_D", "log_alph"))
+    params = init_drnmf_params(cfg, w)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 9, f)).astype(np.float32))
+    x = x.at[2, 5:].set(cfg.mask_value)
+    sm = step_mask_from_input(x, cfg.mask_value)
+
+    U, S, W, b = _effective_matrices(params, cfg, fold_u=True, factor_s=True)
+    dkt = jnp.stack([s[0].T for s in S])
+    dka = jnp.stack([W[0]] + [s[1] for s in S])
+    h0 = jnp.broadcast_to(jax.nn.softplus(params["log_h0"])[None, :],
+                          (4, 2 * r))
+    args = (x, sm, h0, U.diag1, U.off1, U.c, dkt, dka, jnp.stack(b))
+    plain = np.asarray(drnmf_scan_pallas_factored(*args, interpret=True))
+    inter = np.asarray(drnmf_scan_pallas_factored(*args, interpret=True,
+                                                  interleave=True))
+    np.testing.assert_allclose(inter, plain, rtol=1e-6, atol=1e-6)
