@@ -68,20 +68,12 @@ def _dequant(c):
     return c
 
 
-@partial(jax.jit, static_argnames=("nfft", "fs", "compute_pesq"))
-def _percep_packed(est_c, ref_c, offsets, lengths, nfft, fs, compute_pesq):
-    se = _unpack(_dequant(est_c), offsets, lengths, nfft)
-    s = _unpack(_dequant(ref_c), offsets, lengths, nfft)
-    delay = _delay_rows(se, s, lengths)
-    pesq = (pesq_rows(s, se, lengths, fs=fs) if compute_pesq
-            else jnp.full(se.shape[0], -1.0))
-    sto = stoi_rows(s, se, lengths, fs=fs)
-    return pesq, sto, delay
-
-
 @partial(jax.jit, static_argnames=("nfft", "flen", "frame_len"))
 def _fused_packed_any(est_c, ref_c, offsets, lengths, ridge,
                       nfft, flen, frame_len):
+    """Ridge-escalation retry program: only the fused family (SDR/SNR/
+    SegSNR) depends on the ridge, so retry rounds skip the PESQ/STOI/delay
+    work already computed by the first :func:`_engine_bucket` pass."""
     return _fused_packed(_dequant(est_c), _dequant(ref_c), offsets, lengths,
                          ridge, nfft=nfft, flen=flen, frame_len=frame_len)
 
@@ -133,8 +125,12 @@ def score_all_packed(est_list, ref_list, fs: int = 16000,
         lens[i] = min(len(se), len(s))
         buckets.setdefault(_next_pow2(lens[i] + flen), []).append(i)
 
-    is_i16 = (np.asarray(est_list[0]).dtype == np.int16
-              and np.asarray(ref_list[0]).dtype == np.int16)
+    # int16 packing only when EVERY entry is int16; mixed lists fall back
+    # to float32 with int16 entries dequantized host-side (packing a float
+    # entry as int16 -- or an int16 entry as un-rescaled float -- would
+    # silently corrupt that file's scores).
+    is_i16 = all(np.asarray(x).dtype == np.int16 for x in est_list) and all(
+        np.asarray(x).dtype == np.int16 for x in ref_list)
     pack_dtype = np.int16 if is_i16 else np.float32
 
     def as_f32(x, n):
@@ -155,36 +151,58 @@ def score_all_packed(est_list, ref_list, fs: int = 16000,
         est_c[-1] = ref_c[-1] = 0
         for row, i in enumerate(idxs):
             o, n = offsets[row], lens[i]
-            est_c[o : o + n] = np.asarray(est_list[i][:n], pack_dtype)
-            ref_c[o : o + n] = np.asarray(ref_list[i][:n], pack_dtype)
+            if is_i16:
+                est_c[o : o + n] = np.asarray(est_list[i][:n], np.int16)
+                ref_c[o : o + n] = np.asarray(ref_list[i][:n], np.int16)
+            else:
+                est_c[o : o + n] = as_f32(est_list[i], n)
+                ref_c[o : o + n] = as_f32(ref_list[i], n)
         args = (jnp.asarray(est_c), jnp.asarray(ref_c),
                 jnp.asarray(offsets), jnp.asarray(lens[idxs], np.int32))
-        work.append([nfft, np.asarray(idxs), args, np.ones(len(idxs), bool)])
+        work.append(
+            [nfft, np.asarray(idxs), args, np.ones(len(idxs), bool), None])
 
     # ONE merged program per bucket, ONE result fetch each (every fetch is
-    # a blocking tunnel round trip -- see _engine_bucket).  Ridge
-    # escalation re-dispatches the whole bucket program; semantics match
+    # a blocking tunnel round trip -- see _engine_bucket).  Semantics match
     # fused.fused_metrics_packed (each file keeps the FIRST finite-SDR
     # ridge's values, exact per-file SDR fallback past the largest ridge).
-    for ridge in (1e-7, 1e-5, 1e-3):
+    def _commit(w, vals, rows):
+        S[w[1][rows]] = vals[rows, :6]
+        delays[w[1][rows]] = np.round(vals[rows, 6]).astype(np.int64)
+
+    # first pass: the full six-metric program at the base ridge
+    first = [
+        (w, _engine_bucket(*w[2], jnp.float32(1e-7), nfft=w[0],
+                           flen=flen, frame_len=frame_len, fs=fs,
+                           compute_pesq=compute_pesq))
+        for w in work
+    ]
+    for w, res in first:
+        w[4] = np.asarray(res)  # (B, 7), kept for the retry merges
+        newly = w[3] & np.isfinite(w[4][:, 0])
+        _commit(w, w[4], newly)
+        w[3] &= ~newly
+
+    # ridge escalation: only the fused family depends on the ridge, so
+    # retries dispatch the cheaper _fused_packed_any and merge with the
+    # first pass's PESQ/STOI/delay columns.
+    for ridge in (1e-5, 1e-3):
         pending = [
-            (w, _engine_bucket(*w[2], jnp.float32(ridge), nfft=w[0],
-                               flen=flen, frame_len=frame_len, fs=fs,
-                               compute_pesq=compute_pesq))
+            (w, _fused_packed_any(*w[2], jnp.float32(ridge), nfft=w[0],
+                                  flen=flen, frame_len=frame_len))
             for w in work if w[3].any()
         ]
         if not pending:
             break
         for w, res in pending:
-            vals = np.asarray(res)  # (B, 7)
+            vals = w[4]
+            vals[:, :4] = np.stack([np.asarray(r) for r in res], axis=1)
             need = w[3]
             newly = need & np.isfinite(vals[:, 0])
-            S[w[1][newly]] = vals[newly, :6]
-            delays[w[1][newly]] = np.round(vals[newly, 6]).astype(np.int64)
+            _commit(w, vals, newly)
             need &= ~newly
             if need.any() and ridge == 1e-3:
-                S[w[1][need]] = vals[need, :6]
-                delays[w[1][need]] = np.round(vals[need, 6]).astype(np.int64)
+                _commit(w, vals, need)
                 for i in w[1][need]:
                     n = lens[i]
                     S[i, 0] = bss_eval_sdr(

@@ -164,8 +164,10 @@ class MultiStreamEnhancer:
     dispatches collapse into one, so serving throughput scales with the
     batch instead of being dispatch-bound.  Streams are synchronized: each
     ``step`` consumes ``block_frames * hop`` samples from EVERY stream and
-    returns the per-stream samples that became final.  A finished stream's
-    slot can be recycled with :meth:`reset_stream`.
+    returns the per-stream samples that became final.  A finished stream
+    is drained with :meth:`flush_stream` (the per-stream counterpart of
+    :meth:`StreamingEnhancer.flush` -- any trailing partial block goes in
+    its ``tail``), which also recycles the slot for a new stream.
     """
 
     def __init__(self, params, config: DRNMFConfig, n_streams: int,
@@ -191,6 +193,9 @@ class MultiStreamEnhancer:
         # per-stream host state, exactly StreamingEnhancer.reset()'s
         self._buf = [np.zeros(n_fft, np.float32) for _ in range(n_streams)]
         self._skip = np.full(n_streams, n_fft, np.int64)
+        self._n_in = np.zeros(n_streams, np.int64)
+        self._emitted = np.zeros(n_streams, np.int64)
+        self._single = None  # lazy single-stream program for flush_stream
 
     @property
     def block_samples(self) -> int:
@@ -201,6 +206,8 @@ class MultiStreamEnhancer:
         self._acc = self._acc.at[i].set(0.0)
         self._buf[i] = np.zeros(self.n_fft, np.float32)
         self._skip[i] = self.n_fft
+        self._n_in[i] = 0
+        self._emitted[i] = 0
 
     def step(self, samples: np.ndarray):
         """samples: (S, block_frames*hop) new input per stream.  Returns a
@@ -220,13 +227,53 @@ class MultiStreamEnhancer:
         out, self._h, self._acc = self._step(
             self.params, jnp.asarray(frames), self._h, self._acc)
         out = np.asarray(out)
+        self._n_in += k * hop
         finals = []
         for s in range(S):
             o = out[s]
             cut = int(min(self._skip[s], len(o)))
             self._skip[s] -= cut
+            self._emitted[s] += len(o) - cut
             finals.append(o[cut:])
         return finals
+
+    def flush_stream(self, i: int, tail=None) -> np.ndarray:
+        """Drain stream ``i``: emit exactly what the offline pipeline would
+        produce for its signal (``ceil(n/hop)*hop`` samples total, minus
+        what :meth:`step` already returned for it), exactly like
+        :meth:`StreamingEnhancer.flush`.  ``tail`` carries the stream's
+        final partial block (``step`` only accepts whole blocks).  The slot
+        is reset afterwards, ready for a new stream."""
+        n_fft, hop, k = self.n_fft, self.hop, self.block
+        if self._single is None:
+            self._single = _make_block_step(self.config, n_fft, hop)
+        buf = self._buf[i]
+        n_in = int(self._n_in[i])
+        if tail is not None:
+            tail = np.asarray(tail, np.float32).reshape(-1)
+            buf = np.concatenate([buf, tail])
+            n_in += len(tail)
+        target = (-(-n_in // hop)) * hop if n_in else 0
+        h, acc = self._h[i], self._acc[i]
+        skip, emitted = int(self._skip[i]), int(self._emitted[i])
+        need = (k - 1) * hop + n_fft
+        idx = np.arange(k)[:, None] * hop + np.arange(n_fft)[None, :]
+        outs = []
+        while emitted < target:
+            buf = np.concatenate([buf, np.zeros(k * hop, np.float32)])
+            while len(buf) >= need and emitted < target:
+                out, h, acc = self._single(
+                    self.params, jnp.asarray(buf[:need][idx]), h, acc)
+                buf = buf[k * hop:]
+                out = np.asarray(out)
+                cut = min(skip, len(out))
+                out, skip = out[cut:], skip - cut
+                if out.size:
+                    take = out[: target - emitted]
+                    emitted += len(take)
+                    outs.append(take)
+        self.reset_stream(i)
+        return np.concatenate(outs) if outs else np.zeros(0, np.float32)
 
 
 class StreamingEnhancer:

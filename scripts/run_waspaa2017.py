@@ -185,7 +185,10 @@ def seed_paper_runs_from_demo(setup, demo_epochs=40):
         dst = os.path.join(setup, "models", f"model_{t_p}_{h_p}.npz")
         if os.path.exists(dst) or os.path.exists(dst + ".train_state"):
             continue
-        if not os.path.exists(src + ".train_state"):
+        # need BOTH files: a demo run that never improved on val (e.g.
+        # diverged to NaN) writes .train_state every epoch but no
+        # best-checkpoint .npz -- skip it rather than crash the --paper run
+        if not (os.path.exists(src) and os.path.exists(src + ".train_state")):
             continue
         shutil.copy(src, dst)
         shutil.copy(src + ".train_state", dst + ".train_state")
@@ -309,7 +312,12 @@ def main():
             keep = []
             for i, mp in enumerate(model_paths):
                 h = os.path.basename(mp).rsplit("_", 1)[-1].replace(".yaml", "")
-                if any(s == str(i + 1) or h.startswith(s) for s in sels):
+                # all-digit selectors are grid indices ONLY -- a hex hash
+                # can start with digits too, and matching both would let
+                # `--only 2` silently pull in hash-prefix models (each an
+                # hours-long training run at the paper schedule)
+                if any(s == str(i + 1) if s.isdigit() else h.startswith(s)
+                       for s in sels):
                     keep.append(mp)
             model_paths = keep
             print(f"== --only selection: {len(model_paths)} model(s)")

@@ -549,6 +549,30 @@ def test_engine_int16_path_matches_float(rng):
     np.testing.assert_allclose(S_i, S_f, rtol=1e-5, atol=1e-5)
 
 
+def test_engine_mixed_dtype_lists_match_float(rng):
+    """A list mixing raw-PCM16 and float32 entries must score each file
+    correctly (int16 entries dequantized host-side when the bucket packs
+    float32) -- not silently truncate/mis-scale the minority dtype."""
+    from drnmf_tpu.metrics.engine import score_all_packed
+
+    ests_f, refs_f, ests_m, refs_m = [], [], [], []
+    for j, n in enumerate((9000, 14000)):
+        ref = _speechlike(rng, n)
+        est = ref + 0.05 * rng.standard_normal(n).astype(np.float32)
+        ri = np.clip(np.round(ref * 32768), -32768, 32767).astype(np.int16)
+        ei = np.clip(np.round(est * 32768), -32768, 32767).astype(np.int16)
+        rf = ri.astype(np.float32) / 32768.0
+        ef = ei.astype(np.float32) / 32768.0
+        refs_f.append(rf); ests_f.append(ef)
+        # alternate dtypes across entries (and across est/ref within a pair)
+        refs_m.append(ri if j % 2 == 0 else rf)
+        ests_m.append(ef if j % 2 == 0 else ei)
+    S_f, d_f = score_all_packed(ests_f, refs_f, 16000)
+    S_m, d_m = score_all_packed(ests_m, refs_m, 16000)
+    np.testing.assert_array_equal(d_f, d_m)
+    np.testing.assert_allclose(S_m, S_f, rtol=1e-5, atol=1e-5)
+
+
 def test_read_batch_i16_matches_float(tmp_path, rng):
     from drnmf_tpu.data.native_loader import (
         native_available, read_batch, read_batch_i16)

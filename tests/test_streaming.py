@@ -208,3 +208,52 @@ def test_multistream_equals_per_stream(rng):
                               block_frames=block)
     want0 = fresh.process(sigs[1][:blk])
     np.testing.assert_allclose(outs[1], want0, atol=2e-6)
+
+
+def test_multistream_flush_stream_equals_single_flush(rng):
+    """flush_stream drains one slot to the exact offline output length
+    (ceil(n/hop)*hop total) like StreamingEnhancer.flush -- including a
+    trailing partial block passed as ``tail`` -- and recycles the slot."""
+    from drnmf_tpu.streaming import StreamingEnhancer, MultiStreamEnhancer
+
+    f, r, K = 33, 4, 2
+    n_fft, hop, block = 64, 16, 4
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                         alph=10.0, lam1=0.3,
+                         params_untied=("log_D", "log_alph"))
+    params = init_drnmf_params(config, w)
+
+    S = 2
+    blk = block * hop
+    n_steps = 4
+    tail_len = 3 * hop + 5  # deliberately not a block multiple
+    sigs = [rng.uniform(-0.5, 0.5, (n_steps * blk + tail_len,)
+                        ).astype(np.float32) for _ in range(S)]
+
+    multi = MultiStreamEnhancer(params, config, S, n_fft=n_fft, hop=hop,
+                                block_frames=block)
+    got = [[] for _ in range(S)]
+    for t in range(n_steps):
+        outs = multi.step(np.stack([sig[t * blk:(t + 1) * blk]
+                                    for sig in sigs]))
+        for s in range(S):
+            got[s].append(outs[s])
+    got[0].append(multi.flush_stream(0, tail=sigs[0][n_steps * blk:]))
+    got = {0: np.concatenate(got[0])}
+
+    single = StreamingEnhancer(params, config, n_fft=n_fft, hop=hop,
+                               block_frames=block)
+    want = [single.process(sigs[0])]
+    want.append(single.flush())
+    want = np.concatenate(want)
+    assert len(got[0]) == len(want)  # == ceil(n/hop)*hop, offline length
+    np.testing.assert_allclose(got[0], want, atol=2e-6)
+
+    # the flushed slot is recycled: fresh-stream semantics
+    outs = multi.step(np.stack([sigs[s][:blk] for s in range(S)]))
+    fresh = StreamingEnhancer(params, config, n_fft=n_fft, hop=hop,
+                              block_frames=block)
+    np.testing.assert_allclose(outs[0], fresh.process(sigs[0][:blk]),
+                               atol=2e-6)
