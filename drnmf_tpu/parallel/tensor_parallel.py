@@ -170,7 +170,13 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
                     local_hidden, axis_name, axis=1, tiled=True
                 )
             h_new = jnp.where(m_t[:, None], hidden, h_prev)
-            return h_new, h_new
+            # emit only this device's 2r/P slice: the gathered h_new is
+            # value-replicated but TYPED device-varying (it flows from
+            # sharded weights), so a replicated out_specs would need the
+            # check_vma escape hatch -- the varying local slice instead
+            # types exactly, and out_specs concatenates the slices back
+            # into the full (B, T, 2r) array (tp-sharded on the last axis)
+            return h_new, jax.lax.dynamic_slice_in_dim(h_new, start, blk, 1)
 
         _, hs = jax.lax.scan(step, h_init, (xT, mT))
         return jnp.swapaxes(hs, 0, 1)
@@ -190,11 +196,7 @@ def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
                 P(), P(), P(),       # Dhat stack, alph stack, b stack (small)
                 P(), P(), P(),       # x, mask, h0 replicated
             ),
-            out_specs=P(),
-            # the gathered hidden states are value-replicated but typed
-            # varying (they flow from sharded weights); the parity test pins
-            # correctness
-            check_vma=False,
+            out_specs=P(None, None, axis_name),
         )
         fn = jax.jit(shard)
         _COMPILED.put(cache_key, fn)
@@ -344,11 +346,14 @@ def drnmf_scan_tp_train(params, config, x, step_mask, mesh, axis_name="tp"):
         _, hs = jax.lax.scan(step, h_init, (xT, mT))
         return jnp.swapaxes(hs, 0, 1)
 
+    # VMA-typed (no check_vma escape hatch): every cross-device value flows
+    # through a psum, which removes the device-varying type, so the
+    # replicated out_specs is verified by the type system -- unlike the
+    # gather formulation above, whose all_gather output stays typed varying.
     shard = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P()),  # params/x/mask replicated; compute sharded
         out_specs=P(),
-        check_vma=False,
     )
     return shard(params, x, step_mask)
