@@ -48,8 +48,9 @@ _COMPILED = CompiledCache()
 def drnmf_scan_tp(params, config, x, step_mask, mesh, axis_name="tp"):
     """Hidden states with the 2r axis sharded over ``axis_name``.
 
-    x: (B, T, F); returns (B, T, 2r) replicated (gathered) hidden states,
-    equal to the single-device scan.  hidden_dim must divide the mesh axis.
+    x: (B, T, F); returns (B, T, 2r) hidden states equal to the
+    single-device scan, laid out tp-sharded on the hidden axis (each device
+    holds its 2r/P slice).  hidden_dim must divide the mesh axis.
     """
     n_tp = mesh.shape[axis_name]
     h_dim = config.hidden_dim
