@@ -178,7 +178,9 @@ def score_all_packed(est_list, ref_list, fs: int = 16000,
         for w in work
     ]
     for w, res in first:
-        w[4] = np.asarray(res)  # (B, 7), kept for the retry merges
+        # np.array (not asarray): the retry merge writes columns in place,
+        # and asarray of a jax array is a read-only view
+        w[4] = np.array(res)  # (B, 7), kept for the retry merges
         newly = w[3] & np.isfinite(w[4][:, 0])
         _commit(w, w[4], newly)
         w[3] &= ~newly

@@ -396,6 +396,29 @@ def test_engine_matches_per_file_paths(rng):
                                    err_msg=f"pair {i}")
 
 
+def test_engine_ridge_escalation_matches_per_file(rng):
+    """score_all_packed's retry rounds (which re-dispatch ONLY the fused
+    family and merge the first pass's PESQ/STOI/delay columns) agree with
+    the per-file path for references that need ridge escalation -- a pure
+    sine (near-rank-deficient for the 512-tap Toeplitz solve, exercising
+    the exact per-file SDR fallback) mixed with healthy signals."""
+    from drnmf_tpu.metrics.engine import score_all_packed
+    from drnmf_tpu.metrics.scoring import _score_pair
+
+    fs = 16000
+    t = np.arange(11000)
+    sine = (0.1 * np.sin(2 * np.pi * 440.0 * t / fs)).astype(np.float32)
+    refs = [_speechlike(rng, 9000), sine, _speechlike(rng, 15000)]
+    ests = [r + 0.05 * rng.standard_normal(len(r)).astype(np.float32)
+            for r in refs]
+    S, delays = score_all_packed(ests, refs, fs)
+    assert np.all(np.isfinite(S))
+    for i in range(len(refs)):
+        want = _score_pair(ests[i], refs[i], fs)
+        np.testing.assert_allclose(S[i], want, rtol=5e-4, atol=2e-3,
+                                   err_msg=f"pair {i}")
+
+
 def test_engine_alignment_guard(rng):
     """A deliberately shifted estimate is detected (nonzero delay) and
     re-scored after compensation, landing near the aligned scores
