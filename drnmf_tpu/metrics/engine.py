@@ -10,7 +10,8 @@ families ran on a shared host thread pool and effectively serialized
 (68-92x RT end-to-end despite 162/285/465x components -- VERDICT r2 weak
 #1).  Measured on v5e behind the axon tunnel (bench.py --score, 64 files/
 224 audio-s): 166.6x vs 39x per-file / 58x round-2-packed in the same
-session; the two design levers that mattered were raw-PCM16 transfers
+session (196.5x once the first-pass dispatch was batched across buckets
+and retry rounds re-dispatched only the ridge-dependent fused family); the two design levers that mattered were raw-PCM16 transfers
 (the f32 packed transfer was 1.2 s of a 1.7 s pass) and collapsing to one
 program + one fetch per bucket (device compute is sub-millisecond; each
 result fetch is a blocking tunnel round trip).
