@@ -99,15 +99,21 @@ def _make_block_step(config: DRNMFConfig, n_fft: int, hop: int):
 
 def _make_block_step_multi(config: DRNMFConfig, n_fft: int, hop: int):
     """jit'd batched block step: (params, frames (S, k, n_fft), h (S, 2r),
-    acc (S, n_fft)) -> (out (S, k*hop), h', acc').  The S streams advance
-    in lockstep through ONE device program -- the serving configuration
-    that fills the MXU (B=1 per-block dispatches leave its rows idle and
-    measure the host tunnel more than the chip; RESULTS.md streaming)."""
+    acc (S, n_fft), active (S,) bool) -> (out (S, k*hop), h', acc').  The S
+    streams advance in lockstep through ONE device program -- the serving
+    configuration that fills the MXU (B=1 per-block dispatches leave its
+    rows idle and measure the host tunnel more than the chip; RESULTS.md
+    streaming).  ``active`` gates the state update per row: every compute
+    row is independent (row-wise matmuls, no cross-S mixing), so inactive
+    rows keep their h/acc EXACTLY while active rows' outputs are
+    bit-identical to an all-active step -- this is what lets an async
+    multi-client server step whichever streams have a block queued without
+    corrupting the ones that don't."""
     window = jnp.asarray(sqrt_hann_periodic(n_fft))
     syn = window * jnp.float32(2.0 / (n_fft / hop))
 
     @jax.jit
-    def step(params, frames, h, acc):
+    def step(params, frames, h, acc, active):
         U, S, W, b = _effective_matrices(params, config, fold_u=True,
                                          factor_s=True)
         fr = frames * window  # (S, k, n_fft)
@@ -148,10 +154,12 @@ def _make_block_step_multi(config: DRNMFConfig, n_fft: int, hop: int):
                 axis=1)
             return carry, out
 
-        acc, outs = jax.lax.scan(ola, acc, jnp.swapaxes(xr, 0, 1))
+        acc_new, outs = jax.lax.scan(ola, acc, jnp.swapaxes(xr, 0, 1))
         # outs: (k, S, hop) -> (S, k*hop)
         out = jnp.swapaxes(outs, 0, 1).reshape(acc.shape[0], -1)
-        return out, h_fin, acc
+        m = active[:, None]
+        return (jnp.where(m, out, 0.0), jnp.where(m, h_fin, h),
+                jnp.where(m, acc_new, acc))
 
     return step
 
@@ -162,10 +170,12 @@ class MultiStreamEnhancer:
     Each stream has the exact semantics of :class:`StreamingEnhancer`
     (same edge pads, trims, carried state); the S per-block device
     dispatches collapse into one, so serving throughput scales with the
-    batch instead of being dispatch-bound.  Streams are synchronized: each
-    ``step`` consumes ``block_frames * hop`` samples from EVERY stream and
-    returns the per-stream samples that became final.  A finished stream
-    is drained with :meth:`flush_stream` (the per-stream counterpart of
+    batch instead of being dispatch-bound.  Each ``step`` consumes
+    ``block_frames * hop`` samples from every ACTIVE stream (the
+    ``active`` mask lets an async server step only the streams with a
+    block queued; the rest keep their state exactly) and returns the
+    per-stream samples that became final.  A finished stream is drained
+    with :meth:`flush_stream` (the per-stream counterpart of
     :meth:`StreamingEnhancer.flush` -- any trailing partial block goes in
     its ``tail``), which also recycles the slot for a new stream.
     """
@@ -209,27 +219,44 @@ class MultiStreamEnhancer:
         self._n_in[i] = 0
         self._emitted[i] = 0
 
-    def step(self, samples: np.ndarray):
+    def step(self, samples: np.ndarray, active=None):
         """samples: (S, block_frames*hop) new input per stream.  Returns a
         list of S arrays with each stream's enhanced samples that became
         final this step (shorter during the initial latency fill, exactly
-        like StreamingEnhancer.process)."""
+        like StreamingEnhancer.process).
+
+        ``active``: optional (S,) bool mask.  Inactive streams consume no
+        input (their ``samples`` rows are ignored), keep their carried
+        state EXACTLY, and get ``None`` in the returned list -- active
+        rows' outputs are bit-identical to an all-active step.  This is
+        the async-serving interface: step whichever streams have a full
+        block queued without waiting on (or corrupting) the others."""
         S, n_fft, hop, k = self.n_streams, self.n_fft, self.hop, self.block
+        if active is None:
+            active = np.ones(S, bool)
+        else:
+            active = np.asarray(active, bool).reshape(S)
         samples = np.asarray(samples, np.float32).reshape(S, k * hop)
         need = (k - 1) * hop + n_fft
         idx = np.arange(k)[:, None] * hop + np.arange(n_fft)[None, :]
-        frames = np.empty((S, k, n_fft), np.float32)
+        frames = np.zeros((S, k, n_fft), np.float32)
         for s in range(S):
+            if not active[s]:
+                continue
             self._buf[s] = np.concatenate([self._buf[s], samples[s]])
             assert len(self._buf[s]) >= need
             frames[s] = self._buf[s][:need][idx]
             self._buf[s] = self._buf[s][k * hop:]
         out, self._h, self._acc = self._step(
-            self.params, jnp.asarray(frames), self._h, self._acc)
+            self.params, jnp.asarray(frames), self._h, self._acc,
+            jnp.asarray(active))
         out = np.asarray(out)
-        self._n_in += k * hop
+        self._n_in += np.where(active, k * hop, 0)
         finals = []
         for s in range(S):
+            if not active[s]:
+                finals.append(None)
+                continue
             o = out[s]
             cut = int(min(self._skip[s], len(o)))
             self._skip[s] -= cut

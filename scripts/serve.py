@@ -19,8 +19,16 @@ Usage:
     python scripts/serve.py -c params_unfolded_snmf_<hash>.yaml \\
         -m model_unfolded_snmf_<hash>.npz --port 7355 [--block-frames 16]
 
-Connections are served sequentially (one TPU program stream); each
-connection gets a fresh enhancer state.
+With the default ``--streams 0``, connections are served sequentially
+(one enhancer at a time, fresh state per connection).  With
+``--streams S``, up to S clients are served CONCURRENTLY through one
+batched :class:`drnmf_tpu.MultiStreamEnhancer`: a coordinator thread
+steps whichever streams have a full block queued in ONE device program
+per iteration (the ``active`` mask keeps the other streams' carried
+state untouched), so aggregate throughput scales with concurrent load
+(RESULTS.md: 64 lockstep streams sustain >100x aggregate real-time on
+one chip) while each client keeps the exact per-chunk protocol and
+bit-exact offline-equal output of the sequential mode.
 """
 
 import argparse
@@ -28,6 +36,7 @@ import os
 import socket
 import struct
 import sys
+import threading
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -80,6 +89,204 @@ def serve_connection(conn, make_enhancer_state,
         _send_samples(conn, enh.process(data))
 
 
+class _Slot:
+    """Coordinator-side state for one connected stream."""
+
+    def __init__(self):
+        self.conn = None
+        self.pending = []          # list of float32 arrays awaiting blocks
+        self.pending_len = 0
+        self.outbox = []           # enhanced arrays awaiting the next reply
+        self.flushing = False
+        self.flush_out = None      # set once drained; reader sends + closes
+        self.dead = False
+
+    def pop_block(self, blk):
+        """Remove exactly ``blk`` samples from ``pending``."""
+        out, need = [], blk
+        while need:
+            a = self.pending[0]
+            if len(a) <= need:
+                out.append(self.pending.pop(0))
+                need -= len(a)
+            else:
+                out.append(a[:need])
+                self.pending[0] = a[need:]
+                need = 0
+        self.pending_len -= blk
+        return np.concatenate(out)
+
+
+class MultiStreamServer:
+    """Async multi-client coordinator over one MultiStreamEnhancer.
+
+    Readers (one thread per connection) enqueue decoded chunks into their
+    slot and block until the coordinator has consumed every full block of
+    theirs; the coordinator steps ALL ready streams per iteration through
+    one batched device program (``MultiStreamEnhancer.step(active=...)``),
+    so concurrent clients batch into single dispatches while idle streams'
+    state is untouched.  Per connection the protocol and output are
+    exactly the sequential server's."""
+
+    def __init__(self, multi, max_chunk=MAX_CHUNK_SAMPLES,
+                 timeout=RECV_TIMEOUT_S):
+        self.multi = multi
+        self.blk = multi.block_samples
+        self.max_chunk = max_chunk
+        self.timeout = timeout
+        self.lock = threading.Lock()
+        self.cond = threading.Condition(self.lock)
+        self.slots = [_Slot() for _ in range(multi.n_streams)]
+        self.stop = False
+
+    # -- coordinator ------------------------------------------------------
+    def _actionable(self):
+        ready = [i for i, s in enumerate(self.slots)
+                 if s.conn is not None and not s.dead
+                 and s.pending_len >= self.blk]
+        drains = [i for i, s in enumerate(self.slots)
+                  if s.conn is not None and not s.dead and s.flushing
+                  and s.pending_len < self.blk and s.flush_out is None]
+        deads = [i for i, s in enumerate(self.slots)
+                 if s.conn is not None and s.dead]
+        return ready, drains, deads
+
+    def coordinator(self):
+        S = self.multi.n_streams
+        while True:
+            with self.cond:
+                while True:
+                    ready, drains, deads = self._actionable()
+                    if ready or drains or deads or self.stop:
+                        break
+                    self.cond.wait(0.25)
+                if self.stop and not (ready or drains or deads):
+                    return
+                samples = np.zeros((S, self.blk), np.float32)
+                active = np.zeros(S, bool)
+                for i in ready:
+                    samples[i] = self.slots[i].pop_block(self.blk)
+                    active[i] = True
+                tails = {i: (np.concatenate(self.slots[i].pending)
+                             if self.slots[i].pending
+                             else np.zeros(0, np.float32))
+                         for i in drains}
+            # device work OUTSIDE the lock: readers keep enqueueing
+            outs = self.multi.step(samples, active) if active.any() else None
+            flush_outs = {i: self.multi.flush_stream(i, tail=tails[i])
+                          for i in drains}
+            with self.cond:
+                if outs is not None:
+                    for i in ready:
+                        if outs[i] is not None and outs[i].size:
+                            self.slots[i].outbox.append(outs[i])
+                for i, fo in flush_outs.items():
+                    self.slots[i].flush_out = fo
+                for i in deads:
+                    # reader already gone; recycle the abandoned state
+                    self.multi.reset_stream(i)
+                    self.slots[i].conn = None
+                    self.slots[i].__init__()
+                self.cond.notify_all()
+
+    # -- per-connection reader --------------------------------------------
+    def serve_connection(self, conn, i):
+        slot = self.slots[i]
+        if self.timeout:
+            conn.settimeout(self.timeout)
+        try:
+            while True:
+                (n,) = struct.unpack("<i", _recv_exact(conn, 4))
+                if n < 0:
+                    raise ValueError(f"negative chunk length {n}")
+                if n > self.max_chunk:
+                    raise ValueError(
+                        f"chunk length {n} exceeds the "
+                        f"{self.max_chunk}-sample cap")
+                if n == 0:
+                    with self.cond:
+                        slot.flushing = True
+                        self.cond.notify_all()
+                        self.cond.wait_for(
+                            lambda: slot.flush_out is not None)
+                        out = np.concatenate(
+                            [np.concatenate(slot.outbox), slot.flush_out]
+                        ) if slot.outbox else slot.flush_out
+                    _send_samples(conn, out)
+                    return
+                data = np.frombuffer(_recv_exact(conn, 4 * n), dtype="<f4")
+                with self.cond:
+                    slot.pending.append(np.array(data))
+                    slot.pending_len += n
+                    self.cond.notify_all()
+                    # reply once every full block of ours is consumed, so
+                    # each chunk gets exactly one reply like the
+                    # sequential server
+                    self.cond.wait_for(
+                        lambda: slot.pending_len < self.blk or slot.dead)
+                    out = (np.concatenate(slot.outbox) if slot.outbox
+                           else np.zeros(0, np.float32))
+                    slot.outbox = []
+                _send_samples(conn, out)
+        finally:
+            with self.cond:
+                if slot.flush_out is not None and not slot.dead:
+                    # clean flush: flush_stream already reset device state
+                    slot.__init__()
+                else:
+                    slot.dead = True  # coordinator recycles the state
+                self.cond.notify_all()
+
+    def claim_slot(self, conn):
+        with self.cond:
+            self.cond.wait_for(
+                lambda: any(s.conn is None for s in self.slots))
+            i = next(i for i, s in enumerate(self.slots) if s.conn is None)
+            self.slots[i].__init__()
+            self.slots[i].conn = conn
+            return i
+
+    def shutdown(self):
+        with self.cond:
+            self.stop = True
+            self.cond.notify_all()
+
+
+def serve_multi(srv, multi, max_connections=0, max_chunk=MAX_CHUNK_SAMPLES,
+                timeout=RECV_TIMEOUT_S, verbose=True):
+    """Accept loop for the multi-client server: claims a slot per
+    connection (blocking while all ``--streams`` slots are busy) and hands
+    it to a reader thread; the coordinator batches ready streams."""
+    server = MultiStreamServer(multi, max_chunk=max_chunk, timeout=timeout)
+    coord = threading.Thread(target=server.coordinator, daemon=True)
+    coord.start()
+    served, threads = 0, []
+    try:
+        while max_connections == 0 or served < max_connections:
+            conn, addr = srv.accept()
+            i = server.claim_slot(conn)
+
+            def run(conn=conn, addr=addr, i=i):
+                try:
+                    server.serve_connection(conn, i)
+                except (ConnectionError, ValueError, socket.timeout,
+                        struct.error) as e:
+                    if verbose:
+                        print(f"connection {addr}: {e}", flush=True)
+                finally:
+                    conn.close()
+
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            threads.append(th)
+            served += 1
+    finally:
+        for th in threads:
+            th.join(timeout=timeout or 60)
+        server.shutdown()
+        coord.join(timeout=10)
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-c", "--config", required=True, help="model YAML")
@@ -93,9 +300,12 @@ def main():
                         "(block_frames-1)*hop + n_fft samples")
     parser.add_argument("--max-connections", type=int, default=0,
                         help="exit after N connections (0 = serve forever)")
+    parser.add_argument("--streams", type=int, default=0,
+                        help="serve up to N clients concurrently through "
+                        "one batched MultiStreamEnhancer (0 = sequential)")
     args = parser.parse_args()
 
-    from drnmf_tpu import StreamingEnhancer
+    from drnmf_tpu import MultiStreamEnhancer, StreamingEnhancer
     from drnmf_tpu.pipeline import drnmf_config_from_params
     from drnmf_tpu.train import load_checkpoint
     from drnmf_tpu.utils import load_yaml, enable_compile_cache
@@ -120,23 +330,38 @@ def main():
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((args.host, args.port))
-    srv.listen(1)
+    srv.listen(max(1, args.streams))
     lat_ms = 1000.0 * warm.latency_samples / 16000
+    mode = (f"{args.streams} concurrent batched streams" if args.streams
+            else "sequential")
     print(f"serving on {args.host}:{srv.getsockname()[1]} "
           f"(block_frames={args.block_frames}, latency {lat_ms:.0f} ms "
-          f"@16kHz)", flush=True)
+          f"@16kHz, {mode})", flush=True)
 
-    served = 0
     try:
-        while args.max_connections == 0 or served < args.max_connections:
-            conn, addr = srv.accept()
-            try:
-                serve_connection(conn, fresh)
-            except (ConnectionError, ValueError, socket.timeout) as e:
-                print(f"connection {addr}: {e}", flush=True)
-            finally:
-                conn.close()
-            served += 1
+        if args.streams:
+            multi = MultiStreamEnhancer(params, config, args.streams,
+                                        n_fft=args.n_fft, hop=args.hop,
+                                        block_frames=args.block_frames)
+            # warm the batched + flush programs too (flush_stream resets
+            # the slot afterwards, so warming leaves no state behind)
+            multi.step(np.zeros((args.streams, multi.block_samples),
+                                np.float32))
+            multi.flush_stream(0, tail=np.zeros(multi.hop, np.float32))
+            for i in range(1, args.streams):
+                multi.reset_stream(i)
+            serve_multi(srv, multi, max_connections=args.max_connections)
+        else:
+            served = 0
+            while args.max_connections == 0 or served < args.max_connections:
+                conn, addr = srv.accept()
+                try:
+                    serve_connection(conn, fresh)
+                except (ConnectionError, ValueError, socket.timeout) as e:
+                    print(f"connection {addr}: {e}", flush=True)
+                finally:
+                    conn.close()
+                served += 1
     finally:
         srv.close()
 

@@ -159,6 +159,90 @@ def test_serve_protocol_matches_offline(rng, small_model):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_serve_multi_concurrent_clients_match_offline(rng, small_model):
+    """scripts/serve.py --streams: concurrent clients through one batched
+    MultiStreamEnhancer each receive exactly the offline pipeline's output
+    despite different signal lengths, chunk sizes, and pacing."""
+    import os
+    import socket
+    import struct
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import serve
+    from drnmf_tpu.streaming import MultiStreamEnhancer
+
+    params, config = small_model
+    n_fft, hop, block = 64, 16, 4
+    n_clients = 3
+    sigs = [(rng.standard_normal(n) * 0.2).astype(np.float32)
+            for n in (2500, 1200, 3100)]
+    chunks = [600, 257, 911]  # deliberately not block multiples
+
+    multi = MultiStreamEnhancer(params, config, n_clients, n_fft=n_fft,
+                                hop=hop, block_frames=block)
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(n_clients)
+    port = srv.getsockname()[1]
+
+    srv_err = []
+
+    def run_server():
+        try:
+            serve.serve_multi(srv, multi, max_connections=n_clients,
+                              timeout=60.0, verbose=False)
+        except Exception as e:
+            srv_err.append(e)
+
+    th = threading.Thread(target=run_server)
+    th.start()
+
+    results, errs = [None] * n_clients, []
+
+    def client(c):
+        try:
+            sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+            outs = []
+
+            def recv_reply():
+                (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+                return np.frombuffer(serve._recv_exact(sock, 4 * m),
+                                     dtype="<f4")
+
+            x = sigs[c]
+            for i in range(0, len(x), chunks[c]):
+                part = np.asarray(x[i : i + chunks[c]], np.float32)
+                sock.sendall(struct.pack("<i", part.size) + part.tobytes())
+                outs.append(recv_reply())
+            sock.sendall(struct.pack("<i", 0))
+            outs.append(recv_reply())
+            sock.close()
+            results[c] = np.concatenate(outs)
+        except Exception as e:
+            errs.append((c, e))
+
+    cths = [threading.Thread(target=client, args=(c,))
+            for c in range(n_clients)]
+    for t in cths:
+        t.start()
+    for t in cths:
+        t.join(timeout=120)
+    th.join(timeout=120)
+    assert not errs, errs
+    assert not srv_err, srv_err
+
+    for c in range(n_clients):
+        offline = offline_enhance(params, config, sigs[c], n_fft, hop)
+        got = results[c]
+        assert got is not None and len(got) >= len(offline), c
+        np.testing.assert_allclose(got[: len(offline)], offline,
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"client {c}")
+
+
 def test_multistream_equals_per_stream(rng):
     """MultiStreamEnhancer: S lockstep streams through ONE batched block
     step equal S independent StreamingEnhancers sample for sample
@@ -208,6 +292,65 @@ def test_multistream_equals_per_stream(rng):
                               block_frames=block)
     want0 = fresh.process(sigs[1][:blk])
     np.testing.assert_allclose(outs[1], want0, atol=2e-6)
+
+
+def test_multistream_active_mask_equals_per_stream(rng):
+    """Streams advanced under an interleaved ``active`` schedule (each
+    stream stepped a different number of times, in different orders) match
+    dedicated StreamingEnhancers sample for sample, including the final
+    flush_stream drain -- the mask must neither corrupt idle streams'
+    state nor perturb active rows."""
+    from drnmf_tpu.streaming import StreamingEnhancer, MultiStreamEnhancer
+
+    f, r, K = 33, 4, 2
+    n_fft, hop, block = 64, 16, 4
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                         alph=10.0, lam1=0.3,
+                         params_untied=("log_D", "log_alph"))
+    params = init_drnmf_params(config, w)
+
+    S, blk = 3, block * hop
+    # per-stream signal lengths: different block counts + partial tails
+    n_blocks = [5, 3, 4]
+    tails = [7, 0, 2 * hop + 3]
+    sigs = [rng.uniform(-0.5, 0.5, (nb * blk + tl,)).astype(np.float32)
+            for nb, tl in zip(n_blocks, tails)]
+
+    multi = MultiStreamEnhancer(params, config, S, n_fft=n_fft, hop=hop,
+                                block_frames=block)
+    got = [[] for _ in range(S)]
+    fed = [0] * S
+    # interleaved schedule: each round activates a different subset
+    schedule = [(0,), (1, 2), (0, 2), (0, 1), (2,), (0, 1), (2,), (0,)]
+    for round_streams in schedule:
+        act = np.zeros(S, bool)
+        samples = np.zeros((S, blk), np.float32)
+        for s in round_streams:
+            if fed[s] < n_blocks[s]:
+                act[s] = True
+                samples[s] = sigs[s][fed[s] * blk:(fed[s] + 1) * blk]
+                fed[s] += 1
+        if not act.any():
+            continue
+        outs = multi.step(samples, active=act)
+        for s in range(S):
+            if act[s]:
+                got[s].append(outs[s])
+            else:
+                assert outs[s] is None
+    assert fed == n_blocks  # schedule covered every block
+    for s in range(S):
+        got[s].append(multi.flush_stream(s, tail=sigs[s][n_blocks[s] * blk:]))
+
+    for s in range(S):
+        single = StreamingEnhancer(params, config, n_fft=n_fft, hop=hop,
+                                   block_frames=block)
+        want = np.concatenate([single.process(sigs[s]), single.flush()])
+        gs = np.concatenate(got[s])
+        assert len(gs) == len(want)
+        np.testing.assert_allclose(gs, want, atol=2e-6, err_msg=f"stream {s}")
 
 
 def test_multistream_flush_stream_equals_single_flush(rng):
