@@ -369,6 +369,107 @@ def bench_serving():
     }))
 
 
+def bench_serve_tcp(configs=((16, 16), (64, 64))):
+    """End-to-end TCP serving (scripts/serve.py --streams): S concurrent
+    socket clients streaming full-speed through the async coordinator +
+    one batched MultiStreamEnhancer.  Measures the SERVED aggregate
+    real-time factor -- sockets, reader threads, per-chunk replies, and
+    flush drains included -- versus bench_serving's raw lockstep step."""
+    for streams, block_frames in configs:
+        _bench_serve_tcp_one(streams, block_frames)
+
+
+def _bench_serve_tcp_one(S, block):
+    import socket
+    import struct
+    import sys as _sys
+    import threading
+
+    import jax
+
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.streaming import MultiStreamEnhancer
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import serve
+
+    fs, n_fft, hop = 16000, 512, 128
+    seconds = 20.0
+    config = DRNMFConfig(
+        input_dim=257, r=1000, output_dim=257, K_layers=5,
+        alph=400.0, lam1=1.0,
+        params_untied=("log_D", "log_alph"),
+        params_trainable=("log_D", "log_alph"),
+    )
+    rng = np.random.default_rng(7654)
+    w = rng.uniform(0.01, 1.0, (257, 2000)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = jax.device_put(init_drnmf_params(config, w))
+
+    multi = MultiStreamEnhancer(params, config, S, n_fft=n_fft, hop=hop,
+                                block_frames=block)
+    blk = multi.block_samples
+    # warm both device programs before timing (compile + latency fill)
+    multi.step(np.zeros((S, blk), np.float32))
+    multi.flush_stream(0, tail=np.zeros(hop, np.float32))
+    for i in range(1, S):
+        multi.reset_stream(i)
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(S)
+    port = srv.getsockname()[1]
+    th = threading.Thread(
+        target=serve.serve_multi,
+        args=(srv, multi),
+        kwargs=dict(max_connections=S, timeout=300.0, verbose=False),
+        daemon=True)
+    th.start()
+
+    n_samp = int(seconds * fs)
+    sig = (0.1 * rng.standard_normal(n_samp)).astype(np.float32)
+    received = np.zeros(S, np.int64)
+
+    def client(c):
+        sock = socket.create_connection(("127.0.0.1", port), timeout=300)
+        got = 0
+        for i in range(0, n_samp, blk):
+            part = sig[i : i + blk]
+            sock.sendall(struct.pack("<i", part.size) + part.tobytes())
+            (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+            serve._recv_exact(sock, 4 * m)
+            got += m
+        sock.sendall(struct.pack("<i", 0))
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        serve._recv_exact(sock, 4 * m)
+        sock.close()
+        received[c] = got + m
+
+    t0 = time.perf_counter()
+    ths = [threading.Thread(target=client, args=(c,)) for c in range(S)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    wall = time.perf_counter() - t0
+    th.join(timeout=60)
+    expect = (-(-n_samp // hop)) * hop
+    assert all(r == expect for r in received), received
+    audio_s = S * n_samp / fs
+    print(json.dumps({
+        "metric": "served_tcp_aggregate_rtf",
+        "value": round(audio_s / wall, 1),
+        "unit": "x_realtime",
+        "streams": S,
+        "seconds_per_stream": seconds,
+        "block_frames": block,
+        "wall_s": round(wall, 2),
+        "per_stream_rtf": round(audio_s / wall / S, 2),
+    }))
+
+
 def bench_snmf():
     """Sparse NMF dictionary training at the reference's GPU-chunk scale:
     r=1000 (2r=2000 atoms), F=257, one full 140k-frame chunk
@@ -515,6 +616,8 @@ if __name__ == "__main__":
         bench_loop()
     if "--serve" in sys.argv:
         bench_serving()
+    if "--serve-tcp" in sys.argv:
+        bench_serve_tcp()
     if "--snmf" in sys.argv:
         bench_snmf()
     if "--score" in sys.argv:
