@@ -90,13 +90,33 @@ def _mfu(model_flops, wall_seconds):
     return round(tflops, 1), (round(tflops / peak, 3) if peak else None)
 
 
+def _flagship():
+    """The flagship DR-NMF model every benchmark measures: K=5, 2r=2000
+    atoms, untied+trainable log_D/log_alph, unit-norm random dictionary at
+    a FIXED seed, so all benches (enhance/train/loop/serving/tcp) report
+    on the same model.  Returns (config, device params)."""
+    import jax
+
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+
+    config = DRNMFConfig(
+        input_dim=257, r=1000, output_dim=257, K_layers=5,
+        alph=400.0, lam1=1.0,
+        params_untied=("log_D", "log_alph"),
+        params_trainable=("log_D", "log_alph"),
+    )
+    rng = np.random.default_rng(7654)
+    w = rng.uniform(0.01, 1.0, (257, 2000)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    return config, jax.device_put(init_drnmf_params(config, w))
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from drnmf_tpu.dsp.stft import pad_signal
     from drnmf_tpu.enhance import make_enhancer
-    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
 
     fs = 16000
     n_fft, hop = 512, 128
@@ -106,16 +126,7 @@ def main():
     batch, seconds = 256, 8.0
     nsampl = int(fs * seconds)
 
-    config = DRNMFConfig(
-        input_dim=257, r=1000, output_dim=257, K_layers=5,
-        alph=400.0, lam1=1.0,
-        params_untied=("log_D", "log_alph"),
-        params_trainable=("log_D", "log_alph"),
-    )
-    rng = np.random.default_rng(7654)
-    w_dict = rng.uniform(0.01, 1.0, (257, 2000)).astype(np.float32)
-    w_dict /= np.sqrt(np.sum(w_dict**2, axis=0))
-    params = init_drnmf_params(config, w_dict)
+    config, params_dev = _flagship()
 
     enhance_jit = make_enhancer(config, n_fft, hop)
 
@@ -125,7 +136,6 @@ def main():
     wav_dev = pad_signal(
         0.1 * jax.random.normal(key, (batch, nsampl), jnp.float32), n_fft, hop
     )
-    params_dev = jax.device_put(params)
 
     # warmup / compile
     jax.block_until_ready(enhance_jit(params_dev, wav_dev))
@@ -165,25 +175,11 @@ def bench_train():
     import jax
     import jax.numpy as jnp
 
-    from drnmf_tpu.models import (
-        DRNMFConfig,
-        init_drnmf_params,
-        drnmf_apply,
-        drnmf_trainable_mask,
-    )
+    from drnmf_tpu.models import drnmf_apply, drnmf_trainable_mask
     from drnmf_tpu.train import TrainConfig, make_optimizer, masked_mse_signal_approx
     from drnmf_tpu.train.loop import make_train_step
 
-    config = DRNMFConfig(
-        input_dim=257, r=1000, output_dim=257, K_layers=5,
-        alph=400.0, lam1=1.0,
-        params_untied=("log_D", "log_alph"),
-        params_trainable=("log_D", "log_alph"),
-    )
-    rng = np.random.default_rng(7654)
-    w = rng.uniform(0.01, 1.0, (257, 2000)).astype(np.float32)
-    w /= np.sqrt(np.sum(w**2, axis=0))
-    params = jax.device_put(init_drnmf_params(config, w))
+    config, params = _flagship()
 
     def loss_fn(p, x, y, mask):
         irm = drnmf_apply(p, config, x)
@@ -234,22 +230,12 @@ def bench_loop():
     import jax
     import jax.numpy as jnp
 
-    from drnmf_tpu.models import (
-        DRNMFConfig, init_drnmf_params, drnmf_apply, drnmf_trainable_mask)
+    from drnmf_tpu.models import drnmf_apply, drnmf_trainable_mask
     from drnmf_tpu.train import (
         TrainConfig, make_optimizer, masked_mse_signal_approx)
     from drnmf_tpu.train.loop import make_train_step
 
-    config = DRNMFConfig(
-        input_dim=257, r=1000, output_dim=257, K_layers=5,
-        alph=400.0, lam1=1.0,
-        params_untied=("log_D", "log_alph"),
-        params_trainable=("log_D", "log_alph"),
-    )
-    rng = np.random.default_rng(7654)
-    w = rng.uniform(0.01, 1.0, (257, 2000)).astype(np.float32)
-    w /= np.sqrt(np.sum(w**2, axis=0))
-    base_params = init_drnmf_params(config, w)
+    config, base_params = _flagship()
 
     def loss_fn(p, x, y, mask):
         irm = drnmf_apply(p, config, x)
@@ -317,20 +303,11 @@ def bench_serving():
     import jax
     import jax.numpy as jnp
 
-    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
     from drnmf_tpu.streaming import MultiStreamEnhancer
 
     fs, n_fft, hop = 16000, 512, 128
-    config = DRNMFConfig(
-        input_dim=257, r=1000, output_dim=257, K_layers=5,
-        alph=400.0, lam1=1.0,
-        params_untied=("log_D", "log_alph"),
-        params_trainable=("log_D", "log_alph"),
-    )
+    config, params = _flagship()
     rng = np.random.default_rng(7654)
-    w = rng.uniform(0.01, 1.0, (257, 2000)).astype(np.float32)
-    w /= np.sqrt(np.sum(w**2, axis=0))
-    params = jax.device_put(init_drnmf_params(config, w))
 
     rows = []
     for block in (16, 64):
@@ -385,9 +362,6 @@ def _bench_serve_tcp_one(S, block):
     import sys as _sys
     import threading
 
-    import jax
-
-    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
     from drnmf_tpu.streaming import MultiStreamEnhancer
 
     _sys.path.insert(0, os.path.join(os.path.dirname(
@@ -396,16 +370,8 @@ def _bench_serve_tcp_one(S, block):
 
     fs, n_fft, hop = 16000, 512, 128
     seconds = 20.0
-    config = DRNMFConfig(
-        input_dim=257, r=1000, output_dim=257, K_layers=5,
-        alph=400.0, lam1=1.0,
-        params_untied=("log_D", "log_alph"),
-        params_trainable=("log_D", "log_alph"),
-    )
+    config, params = _flagship()
     rng = np.random.default_rng(7654)
-    w = rng.uniform(0.01, 1.0, (257, 2000)).astype(np.float32)
-    w /= np.sqrt(np.sum(w**2, axis=0))
-    params = jax.device_put(init_drnmf_params(config, w))
 
     multi = MultiStreamEnhancer(params, config, S, n_fft=n_fft, hop=hop,
                                 block_frames=block)

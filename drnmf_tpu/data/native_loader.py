@@ -17,18 +17,20 @@ _lib = None
 
 
 def ensure_built(quiet=True):
-    """Build libdrnmfio.so if absent.  Returns True when available."""
-    if os.path.exists(_SO_PATH):
-        return True
+    """Build (or freshen) libdrnmfio.so.  Returns True when available.
+
+    Always invokes make (mtime-based, a no-op when current): an .so built
+    from older sources -- e.g. before wav_read_batch_i16 existed -- would
+    otherwise be dlopen'd as-is and silently disable newer fast paths."""
     try:
         subprocess.run(
             ["make", "-C", os.path.abspath(_NATIVE_DIR)],
             check=True,
             capture_output=quiet,
         )
-        return os.path.exists(_SO_PATH)
     except Exception:
-        return False
+        pass  # no toolchain: a prebuilt .so is still usable
+    return os.path.exists(_SO_PATH)
 
 
 def get_lib():
@@ -69,6 +71,12 @@ def get_lib():
         ctypes.c_int32,
     ]
     lib.wav_write.restype = ctypes.c_int
+    if not hasattr(lib, "wav_read_batch_i16"):
+        # make should have rebuilt a stale .so before the dlopen above, so
+        # reaching here means the build itself is out of date somehow
+        print("WARNING: libdrnmfio.so lacks wav_read_batch_i16; scoring "
+              "falls back to float32 transfers (rebuild native/)",
+              flush=True)
     if hasattr(lib, "wav_read_batch_i16"):
         lib.wav_read_batch_i16.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),

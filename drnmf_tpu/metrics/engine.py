@@ -31,13 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bss_eval import FLEN, _next_pow2, bss_eval_sdr
-from .fused import _fused_packed, _fused_padded, _unpack
+from .fused import _fused_packed, _fused_padded, _unpack, pack_pair
 from .pesq_device import pesq_rows
+from .scoring import SCORE_LABELS  # noqa: F401  (re-export, one source)
 from .stoi_device import stoi_rows
 
 MAX_LAG = 2047  # +-128 ms at 16 kHz
-
-SCORE_LABELS = ["SDR", "SNR", "SegSNR local", "SegSNR global", "PESQ", "STOI"]
 
 
 def _delay_rows(est_rows, ref_rows, lengths):
@@ -46,15 +45,17 @@ def _delay_rows(est_rows, ref_rows, lengths):
     length, so lags within the per-row padding are linear correlations;
     lags beyond it are masked out."""
     nfft = est_rows.shape[-1]
+    # short buckets (nfft < 2*MAX_LAG+1) can't represent the full lag range
+    max_lag = min(MAX_LAG, nfft // 2 - 1)
     ef = jnp.fft.rfft(est_rows, axis=-1)
     rf = jnp.fft.rfft(ref_rows, axis=-1)
     c = jnp.fft.irfft(ef * jnp.conj(rf), n=nfft, axis=-1)  # (B, nfft)
     lags = jnp.concatenate(
-        [jnp.arange(0, MAX_LAG + 1), jnp.arange(-MAX_LAG, 0)])
+        [jnp.arange(0, max_lag + 1), jnp.arange(-max_lag, 0)])
     vals = jnp.abs(jnp.concatenate(
-        [c[:, : MAX_LAG + 1], c[:, nfft - MAX_LAG :]], axis=-1))
+        [c[:, : max_lag + 1], c[:, nfft - max_lag :]], axis=-1))
     # tie-break toward zero delay; mask lags that would wrap into the signal
-    vals = vals * (1.0 - 1e-6 * jnp.abs(lags)[None, :] / (MAX_LAG + 1))
+    vals = vals * (1.0 - 1e-6 * jnp.abs(lags)[None, :] / (max_lag + 1))
     ok = jnp.abs(lags)[None, :] <= jnp.maximum(nfft - lengths[:, None] - 1, 0)
     vals = jnp.where(ok, vals, -1.0)
     return lags[jnp.argmax(vals, axis=-1)]
@@ -142,22 +143,9 @@ def score_all_packed(est_list, ref_list, fs: int = 16000,
 
     work = []  # [nfft, idx array, device args, need-retry mask]
     for nfft, idxs in sorted(buckets.items()):
-        offsets = np.zeros(len(idxs), np.int64)
-        pos = 0
-        for row, i in enumerate(idxs):
-            offsets[row] = pos
-            pos += lens[i]
-        est_c = np.empty(pos + 1, pack_dtype)  # +1: clip-gather guard row
-        ref_c = np.empty(pos + 1, pack_dtype)
-        est_c[-1] = ref_c[-1] = 0
-        for row, i in enumerate(idxs):
-            o, n = offsets[row], lens[i]
-            if is_i16:
-                est_c[o : o + n] = np.asarray(est_list[i][:n], np.int16)
-                ref_c[o : o + n] = np.asarray(ref_list[i][:n], np.int16)
-            else:
-                est_c[o : o + n] = as_f32(est_list[i], n)
-                ref_c[o : o + n] = as_f32(ref_list[i], n)
+        est_c, ref_c, offsets = pack_pair(
+            est_list, ref_list, idxs, lens, pack_dtype,
+            convert=None if is_i16 else as_f32)
         args = (jnp.asarray(est_c), jnp.asarray(ref_c),
                 jnp.asarray(offsets), jnp.asarray(lens[idxs], np.int32))
         work.append(

@@ -21,6 +21,29 @@ from .bss_eval import FLEN, _next_pow2, _sdr_padded, bss_eval_sdr
 from .snr import _snrseg_padded
 
 
+def pack_pair(a_list, b_list, idxs, lens, dtype=np.float32, convert=None):
+    """Concat-buffer packing shared by every pow2-bucketed device program
+    (fused / engine / pesq_device / stoi_device): the selected rows are
+    packed back-to-back with a trailing zero guard row for the clip-mode
+    unpack gather.  ``convert(x, n)`` overrides the per-row conversion
+    (e.g. the engine's int16 or dequant paths).  Returns host arrays
+    ``(a_c, b_c, offsets)``."""
+    offsets = np.zeros(len(idxs), np.int64)
+    pos = 0
+    for row, i in enumerate(idxs):
+        offsets[row] = pos
+        pos += lens[i]
+    a_c = np.empty(pos + 1, dtype)
+    b_c = np.empty(pos + 1, dtype)
+    a_c[-1] = b_c[-1] = 0
+    conv = convert or (lambda x, n: np.asarray(x[:n], dtype))
+    for row, i in enumerate(idxs):
+        o, n = offsets[row], lens[i]
+        a_c[o : o + n] = conv(a_list[i], n)
+        b_c[o : o + n] = conv(b_list[i], n)
+    return a_c, b_c, offsets
+
+
 @partial(jax.jit, static_argnames=("flen", "frame_len"))
 def _fused_padded(se, s, n_valid, ridge, flen, frame_len):
     sdr = _sdr_padded(se, s, n_valid, flen=flen, ridge=ridge)
@@ -104,18 +127,7 @@ def fused_metrics_packed(est_list, ref_list, fs: int = 16000,
 
     work = []  # (nfft, rows, device args, need mask)
     for nfft, idxs in sorted(buckets.items()):
-        offsets = np.zeros(len(idxs), np.int64)
-        pos = 0
-        for row, i in enumerate(idxs):
-            offsets[row] = pos
-            pos += lens[i]
-        est_c = np.empty(pos + 1, np.float32)  # +1: clip-gather guard row
-        ref_c = np.empty(pos + 1, np.float32)
-        est_c[-1] = ref_c[-1] = 0.0
-        for row, i in enumerate(idxs):
-            o, n = offsets[row], lens[i]
-            est_c[o : o + n] = np.asarray(est_list[i][:n], np.float32)
-            ref_c[o : o + n] = np.asarray(ref_list[i][:n], np.float32)
+        est_c, ref_c, offsets = pack_pair(est_list, ref_list, idxs, lens)
         args = (jnp.asarray(est_c), jnp.asarray(ref_c),
                 jnp.asarray(offsets), jnp.asarray(lens[idxs], np.int32))
         work.append([nfft, np.asarray(idxs), args, np.ones(len(idxs), bool)])

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .fused import pack_pair
 from ._pesq_model import (
     _ABS_THRESH,
     _ASYM_SCALE,
@@ -230,18 +231,10 @@ def pesq_packed(ref_list, deg_list, fs: int = 16000):
         buckets.setdefault(L, []).append(i)
     pending = []
     for L, idxs in sorted(buckets.items()):
-        offsets = np.concatenate([[0], np.cumsum(lens[idxs][:-1])])
-        total = int(lens[idxs].sum())
-        ref_c = np.empty(total + 1, np.float32)
-        deg_c = np.empty(total + 1, np.float32)
-        ref_c[-1] = deg_c[-1] = 0.0
-        for row, i in enumerate(idxs):
-            o, n = offsets[row], lens[i]
-            ref_c[o : o + n] = np.asarray(ref_list[i][:n], np.float32)
-            deg_c[o : o + n] = np.asarray(deg_list[i][:n], np.float32)
+        ref_c, deg_c, offsets = pack_pair(ref_list, deg_list, idxs, lens)
         res = _pesq_packed_dev(
             jnp.asarray(ref_c), jnp.asarray(deg_c),
-            jnp.asarray(offsets.astype(np.int64)),
+            jnp.asarray(offsets),
             jnp.asarray(lens[idxs], np.int32), L=L, fs=fs)
         pending.append((idxs, res))  # dispatch all buckets before fetching
     for idxs, res in pending:

@@ -22,6 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .fused import pack_pair
 import scipy.signal
 
 from .stoi import (
@@ -185,18 +187,10 @@ def stoi_packed_device(ref_list, est_list, fs: int = 16000):
         buckets.setdefault(L, []).append(i)
     pending = []
     for L, idxs in sorted(buckets.items()):
-        offsets = np.concatenate([[0], np.cumsum(lens[idxs][:-1])])
-        total = int(lens[idxs].sum())
-        ref_c = np.empty(total + 1, np.float32)
-        est_c = np.empty(total + 1, np.float32)
-        ref_c[-1] = est_c[-1] = 0.0
-        for row, i in enumerate(idxs):
-            o, n = offsets[row], lens[i]
-            ref_c[o : o + n] = np.asarray(ref_list[i][:n], np.float32)
-            est_c[o : o + n] = np.asarray(est_list[i][:n], np.float32)
+        ref_c, est_c, offsets = pack_pair(ref_list, est_list, idxs, lens)
         res = _stoi_rows_packed_dev(
             jnp.asarray(ref_c), jnp.asarray(est_c),
-            jnp.asarray(offsets.astype(np.int64)),
+            jnp.asarray(offsets),
             jnp.asarray(lens[idxs], np.int32), L=L, fs=fs)
         pending.append((idxs, res))
     for idxs, res in pending:

@@ -97,6 +97,8 @@ class _Slot:
         self.pending = []          # list of float32 arrays awaiting blocks
         self.pending_len = 0
         self.outbox = []           # enhanced arrays awaiting the next reply
+        self.blocks_taken = 0      # blocks popped by the coordinator
+        self.blocks_done = 0       # blocks whose output reached the outbox
         self.flushing = False
         self.flush_out = None      # set once drained; reader sends + closes
         self.dead = False
@@ -138,6 +140,7 @@ class MultiStreamServer:
         self.cond = threading.Condition(self.lock)
         self.slots = [_Slot() for _ in range(multi.n_streams)]
         self.stop = False
+        self.failed = None         # coordinator exception, fails all clients
 
     # -- coordinator ------------------------------------------------------
     def _actionable(self):
@@ -152,6 +155,18 @@ class MultiStreamServer:
         return ready, drains, deads
 
     def coordinator(self):
+        try:
+            self._coordinator_loop()
+        except BaseException as e:
+            # a device/tunnel error here would otherwise kill this daemon
+            # thread silently and leave every reader blocked forever: record
+            # it and wake everyone so readers/claims fail fast instead
+            with self.cond:
+                self.failed = e
+                self.cond.notify_all()
+            raise
+
+    def _coordinator_loop(self):
         S = self.multi.n_streams
         while True:
             with self.cond:
@@ -166,6 +181,7 @@ class MultiStreamServer:
                 active = np.zeros(S, bool)
                 for i in ready:
                     samples[i] = self.slots[i].pop_block(self.blk)
+                    self.slots[i].blocks_taken += 1
                     active[i] = True
                 tails = {i: (np.concatenate(self.slots[i].pending)
                              if self.slots[i].pending
@@ -176,10 +192,11 @@ class MultiStreamServer:
             flush_outs = {i: self.multi.flush_stream(i, tail=tails[i])
                           for i in drains}
             with self.cond:
-                if outs is not None:
-                    for i in ready:
-                        if outs[i] is not None and outs[i].size:
-                            self.slots[i].outbox.append(outs[i])
+                for i in ready:
+                    if outs is not None and outs[i] is not None \
+                            and outs[i].size:
+                        self.slots[i].outbox.append(outs[i])
+                    self.slots[i].blocks_done += 1
                 for i, fo in flush_outs.items():
                     self.slots[i].flush_out = fo
                 for i in deads:
@@ -188,6 +205,11 @@ class MultiStreamServer:
                     self.slots[i].conn = None
                     self.slots[i].__init__()
                 self.cond.notify_all()
+
+    def _check_failed(self):
+        if self.failed is not None:
+            raise ConnectionError(
+                f"server coordinator failed: {self.failed!r}")
 
     # -- per-connection reader --------------------------------------------
     def serve_connection(self, conn, i):
@@ -208,7 +230,9 @@ class MultiStreamServer:
                         slot.flushing = True
                         self.cond.notify_all()
                         self.cond.wait_for(
-                            lambda: slot.flush_out is not None)
+                            lambda: slot.flush_out is not None
+                            or self.failed is not None)
+                        self._check_failed()
                         out = np.concatenate(
                             [np.concatenate(slot.outbox), slot.flush_out]
                         ) if slot.outbox else slot.flush_out
@@ -219,11 +243,16 @@ class MultiStreamServer:
                     slot.pending.append(np.array(data))
                     slot.pending_len += n
                     self.cond.notify_all()
-                    # reply once every full block of ours is consumed, so
-                    # each chunk gets exactly one reply like the
-                    # sequential server
+                    # reply once every full block of ours is consumed AND
+                    # its output has landed in the outbox (blocks_done
+                    # catches up to blocks_taken), so each chunk gets
+                    # exactly one reply carrying its finalized samples
+                    # like the sequential server
                     self.cond.wait_for(
-                        lambda: slot.pending_len < self.blk or slot.dead)
+                        lambda: (slot.pending_len < self.blk
+                                 and slot.blocks_done == slot.blocks_taken)
+                        or slot.dead or self.failed is not None)
+                    self._check_failed()
                     out = (np.concatenate(slot.outbox) if slot.outbox
                            else np.zeros(0, np.float32))
                     slot.outbox = []
@@ -240,7 +269,9 @@ class MultiStreamServer:
     def claim_slot(self, conn):
         with self.cond:
             self.cond.wait_for(
-                lambda: any(s.conn is None for s in self.slots))
+                lambda: any(s.conn is None for s in self.slots)
+                or self.failed is not None)
+            self._check_failed()
             i = next(i for i, s in enumerate(self.slots) if s.conn is None)
             self.slots[i].__init__()
             self.slots[i].conn = conn

@@ -615,3 +615,26 @@ def test_read_batch_i16_matches_float(tmp_path, rng):
     i16, l2 = out
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_array_equal(f32, i16.astype(np.float32) / 32768.0)
+
+
+def test_engine_short_file_bucket(rng):
+    """Files short enough that their pow2 bucket can't hold the full
+    +-MAX_LAG delay search (nfft < 2*MAX_LAG+1) score without error: the
+    lag range clamps to the bucket size instead of slicing a mismatched
+    correlation window (review r3: a single 32 ms wav aborted the whole
+    scoring pass)."""
+    from drnmf_tpu.metrics.engine import score_all_packed
+    from drnmf_tpu.metrics.scoring import _score_pair
+
+    ests, refs = [], []
+    for n in (400, 700, 9000):  # 400+FLEN -> nfft 1024 << 2*2047+1
+        ref = _speechlike(rng, n)
+        est = ref + 0.05 * rng.standard_normal(n).astype(np.float32)
+        refs.append(ref)
+        ests.append(est)
+    S, delays = score_all_packed(ests, refs, 16000)
+    assert np.all(delays == 0)
+    for i in range(len(ests)):
+        want = _score_pair(ests[i], refs[i], 16000)
+        np.testing.assert_allclose(S[i], want, rtol=5e-4, atol=2e-3,
+                                   err_msg=f"pair {i}")

@@ -400,3 +400,153 @@ def test_multistream_flush_stream_equals_single_flush(rng):
                               block_frames=block)
     np.testing.assert_allclose(outs[0], fresh.process(sigs[0][:blk]),
                                atol=2e-6)
+
+
+class _StubMulti:
+    """Stand-in MultiStreamEnhancer: each block's 'enhancement' is the
+    input + 1000*(1+stream index), so a reply's provenance is checkable."""
+
+    def __init__(self, n_streams, blk, step_delay=0.0, fail_after=None):
+        import threading
+        self.n_streams = n_streams
+        self.block_samples = blk
+        self.step_delay = step_delay
+        self.fail_after = fail_after
+        self.steps = 0
+        self._lock = threading.Lock()
+
+    def step(self, samples, active=None):
+        import time
+        with self._lock:
+            self.steps += 1
+            if self.fail_after is not None and self.steps > self.fail_after:
+                raise RuntimeError("injected device failure")
+        if self.step_delay:
+            time.sleep(self.step_delay)
+        if active is None:
+            active = np.ones(self.n_streams, bool)
+        return [samples[i] + 1000.0 * (1 + i) if active[i] else None
+                for i in range(self.n_streams)]
+
+    def flush_stream(self, i, tail=None):
+        t = np.zeros(0, np.float32) if tail is None else tail
+        return np.asarray(t + 1000.0 * (1 + i), np.float32)
+
+    def reset_stream(self, i):
+        pass
+
+
+def _import_serve():
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import serve
+    return serve
+
+
+def _serve_stub(multi, n_conn, timeout=30.0):
+    import socket
+    import threading
+
+    serve = _import_serve()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(n_conn)
+    th = threading.Thread(
+        target=serve.serve_multi,
+        args=(srv, multi),
+        kwargs=dict(max_connections=n_conn, timeout=timeout, verbose=False),
+        daemon=True)
+    th.start()
+    return srv, srv.getsockname()[1], th
+
+
+def test_serve_multi_reply_carries_block_output():
+    """Each full-block chunk's reply contains THAT block's enhanced
+    samples even while another chatty client's notifications race the
+    coordinator's device step (review r3: the reader could previously be
+    woken between pop_block and the outbox append, replying one step
+    early)."""
+    import socket
+    import struct
+    import threading
+
+    serve = _import_serve()
+
+    blk = 64
+    multi = _StubMulti(2, blk, step_delay=0.02)
+    srv, port, th = _serve_stub(multi, 2)
+
+    stop = threading.Event()
+
+    def chatty():
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        part = np.zeros(3, np.float32)  # never completes a block
+        while not stop.is_set():
+            sock.sendall(struct.pack("<i", part.size) + part.tobytes())
+            (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+            serve._recv_exact(sock, 4 * m)
+        sock.sendall(struct.pack("<i", 0))
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        serve._recv_exact(sock, 4 * m)
+        sock.close()
+
+    cth = threading.Thread(target=chatty, daemon=True)
+    cth.start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        for k in range(20):
+            x = np.full(blk, float(k), np.float32)
+            sock.sendall(struct.pack("<i", x.size) + x.tobytes())
+            (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+            out = np.frombuffer(serve._recv_exact(sock, 4 * m), dtype="<f4")
+            # the stub's per-block output is input + offset: the reply for
+            # chunk k must contain exactly block k's samples
+            assert m == blk, f"chunk {k}: reply had {m} samples"
+            offset = out[0] - float(k)
+            assert offset in (1000.0, 2000.0), f"chunk {k}: offset {offset}"
+            np.testing.assert_array_equal(out, x + offset)
+        sock.sendall(struct.pack("<i", 0))
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        serve._recv_exact(sock, 4 * m)
+        sock.close()
+    finally:
+        stop.set()
+        cth.join(timeout=10)
+        th.join(timeout=10)
+        srv.close()
+
+
+def test_serve_multi_coordinator_failure_fails_fast():
+    """A device error inside the coordinator (fragile-tunnel territory)
+    must fail connected clients promptly instead of hanging them forever
+    on a dead daemon thread (review r3)."""
+    import socket
+    import struct
+
+    serve = _import_serve()
+
+    blk = 32
+    multi = _StubMulti(1, blk, fail_after=2)
+    srv, port, th = _serve_stub(multi, 1, timeout=10.0)
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        sock.settimeout(20.0)
+        x = np.zeros(blk, np.float32)
+        failed = False
+        for k in range(6):
+            try:
+                sock.sendall(struct.pack("<i", x.size) + x.tobytes())
+                (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+                serve._recv_exact(sock, 4 * m)
+            except (ConnectionError, socket.timeout, struct.error):
+                failed = True
+                break
+        assert failed, "client was never disconnected after coordinator death"
+    finally:
+        th.join(timeout=15)
+        srv.close()
+        assert not th.is_alive(), "serve_multi accept loop did not exit"
