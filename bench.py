@@ -351,12 +351,19 @@ def bench_serve_tcp(configs=((16, 16), (64, 64))):
     socket clients streaming full-speed through the async coordinator +
     one batched MultiStreamEnhancer.  Measures the SERVED aggregate
     real-time factor -- sockets, reader threads, per-chunk replies, and
-    flush drains included -- versus bench_serving's raw lockstep step."""
+    flush drains included -- versus bench_serving's raw lockstep step.
+    Then the production SLO view: S clients PACED at 1.0x real time (one
+    block per block duration), reporting per-chunk reply-latency
+    percentiles and whether latency is stationary (keeping up) under
+    full load -- the supported envelope is 32 streams at the 152 ms
+    block and 64 at the 536 ms block (RESULTS.md)."""
     for streams, block_frames in configs:
         _bench_serve_tcp_one(streams, block_frames)
+    _bench_serve_tcp_one(32, 16, paced=True)
+    _bench_serve_tcp_one(64, 64, paced=True)
 
 
-def _bench_serve_tcp_one(S, block):
+def _bench_serve_tcp_one(S, block, paced=False):
     import socket
     import struct
     import sys as _sys
@@ -397,15 +404,30 @@ def _bench_serve_tcp_one(S, block):
     n_samp = int(seconds * fs)
     sig = (0.1 * rng.standard_normal(n_samp)).astype(np.float32)
     received = np.zeros(S, np.int64)
+    block_dur = blk / fs
+    lat = [[] for _ in range(S)]  # per-chunk reply latencies (paced mode)
 
     def client(c):
+        """Request-reply client; in paced mode each chunk is sent on the
+        live-source schedule (one block per block duration) and the reply
+        latency is measured against that schedule, so client-side drift
+        from late replies shows up as latency rather than hiding in
+        slowed-down sends."""
         sock = socket.create_connection(("127.0.0.1", port), timeout=300)
         got = 0
-        for i in range(0, n_samp, blk):
+        start = time.perf_counter()
+        for k, i in enumerate(range(0, n_samp, blk)):
+            if paced:
+                sleep = start + k * block_dur - time.perf_counter()
+                if sleep > 0:
+                    time.sleep(sleep)
             part = sig[i : i + blk]
             sock.sendall(struct.pack("<i", part.size) + part.tobytes())
             (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
             serve._recv_exact(sock, 4 * m)
+            if paced:
+                lat[c].append(
+                    time.perf_counter() - (start + k * block_dur))
             got += m
         sock.sendall(struct.pack("<i", 0))
         (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
@@ -424,6 +446,36 @@ def _bench_serve_tcp_one(S, block):
     expect = (-(-n_samp // hop)) * hop
     assert all(r == expect for r in received), received
     audio_s = S * n_samp / fs
+    if paced:
+        all_lat = np.concatenate([np.asarray(v[1:]) for v in lat])  # drop
+        # each stream's first chunk (includes connection rampup)
+        p50, p95, p99 = np.percentile(all_lat, [50, 95, 99]) * 1000.0
+        # keeping up == latency is STATIONARY over the run (a service rate
+        # below demand shows as linear latency growth); the wall clock
+        # also includes the end-of-run flush drains, so it can't be the
+        # criterion.  Compare each stream's last-quarter mean latency to
+        # its second-quarter mean.
+        drifts = []
+        for v in lat:
+            a = np.asarray(v[1:])
+            q = len(a) // 4
+            drifts.append(a[-q:].mean() - a[q : 2 * q].mean())
+        drift_ms = float(np.mean(drifts)) * 1000.0
+        print(json.dumps({
+            "metric": "served_tcp_paced_reply_latency_ms",
+            "value": round(float(p95), 1),
+            "unit": "ms_p95",
+            "p50_ms": round(float(p50), 1),
+            "p99_ms": round(float(p99), 1),
+            "max_ms": round(float(np.max(all_lat) * 1000.0), 1),
+            "block_duration_ms": round(block_dur * 1000.0, 1),
+            "streams": S,
+            "block_frames": block,
+            "latency_drift_ms": round(drift_ms, 1),
+            "realtime_kept_up": bool(drift_ms < 0.25 * block_dur * 1000.0),
+            "wall_s": round(wall, 2),
+        }))
+        return
     print(json.dumps({
         "metric": "served_tcp_aggregate_rtf",
         "value": round(audio_s / wall, 1),

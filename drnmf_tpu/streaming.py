@@ -231,6 +231,18 @@ class MultiStreamEnhancer:
         rows' outputs are bit-identical to an all-active step.  This is
         the async-serving interface: step whichever streams have a full
         block queued without waiting on (or corrupting) the others."""
+        return self.step_fetch(self.step_dispatch(samples, active))
+
+    def step_dispatch(self, samples: np.ndarray, active=None):
+        """First half of :meth:`step`: frame, dispatch the device program
+        (JAX async -- returns immediately), and advance all host-side
+        bookkeeping.  Returns an opaque handle for :meth:`step_fetch`.
+
+        Splitting lets a serving coordinator overlap the device step with
+        gathering the NEXT batch (the step's output shape is static, so
+        every piece of bookkeeping is known before the values are).  State
+        is advanced here: exactly one ``step_fetch`` per dispatch, in
+        dispatch order."""
         S, n_fft, hop, k = self.n_streams, self.n_fft, self.hop, self.block
         if active is None:
             active = np.ones(S, bool)
@@ -250,19 +262,26 @@ class MultiStreamEnhancer:
         out, self._h, self._acc = self._step(
             self.params, jnp.asarray(frames), self._h, self._acc,
             jnp.asarray(active))
-        out = np.asarray(out)
         self._n_in += np.where(active, k * hop, 0)
-        finals = []
+        cuts = np.full(S, -1, np.int64)  # -1: inactive
+        L = k * hop  # static per-stream output length
         for s in range(S):
             if not active[s]:
-                finals.append(None)
                 continue
-            o = out[s]
-            cut = int(min(self._skip[s], len(o)))
+            cut = int(min(self._skip[s], L))
             self._skip[s] -= cut
-            self._emitted[s] += len(o) - cut
-            finals.append(o[cut:])
-        return finals
+            self._emitted[s] += L - cut
+            cuts[s] = cut
+        return out, cuts
+
+    def step_fetch(self, handle):
+        """Second half of :meth:`step`: block on the device result of a
+        :meth:`step_dispatch` handle and return the per-stream finals
+        list (``None`` for streams inactive in that dispatch)."""
+        out, cuts = handle
+        out = np.asarray(out)
+        return [None if cuts[s] < 0 else out[s][cuts[s]:]
+                for s in range(self.n_streams)]
 
     def flush_stream(self, i: int, tail=None) -> np.ndarray:
         """Drain stream ``i``: emit exactly what the offline pipeline would

@@ -37,6 +37,7 @@ import socket
 import struct
 import sys
 import threading
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -131,11 +132,21 @@ class MultiStreamServer:
     exactly the sequential server's."""
 
     def __init__(self, multi, max_chunk=MAX_CHUNK_SAMPLES,
-                 timeout=RECV_TIMEOUT_S):
+                 timeout=RECV_TIMEOUT_S, gather_s=None):
         self.multi = multi
         self.blk = multi.block_samples
         self.max_chunk = max_chunk
         self.timeout = timeout
+        # batch-gathering window: once SOME stream has a full block, wait
+        # up to this long for the OTHER live streams' blocks before
+        # stepping, so near-simultaneous arrivals (real-time-paced clients
+        # phase-lock through the shared replies) ride ONE full-batch device
+        # program instead of splitting across two -- the fixed-shape step
+        # costs the same wall regardless of how many streams are active,
+        # so partial batches waste exactly that fraction of chip capacity.
+        # Default: a quarter of the block duration at 16 kHz.
+        self.gather_s = (0.25 * self.blk / 16000.0
+                         if gather_s is None else gather_s)
         self.lock = threading.Lock()
         self.cond = threading.Condition(self.lock)
         self.slots = [_Slot() for _ in range(multi.n_streams)]
@@ -166,15 +177,31 @@ class MultiStreamServer:
                 self.cond.notify_all()
             raise
 
+    def _n_live(self):
+        return sum(1 for s in self.slots
+                   if s.conn is not None and not s.dead and not s.flushing)
+
     def _coordinator_loop(self):
         S = self.multi.n_streams
         while True:
             with self.cond:
+                deadline = None
                 while True:
                     ready, drains, deads = self._actionable()
-                    if ready or drains or deads or self.stop:
+                    if drains or deads or self.stop:
                         break
-                    self.cond.wait(0.25)
+                    if ready:
+                        if len(ready) >= self._n_live():
+                            break  # full batch: no reason to wait
+                        now = time.monotonic()
+                        if deadline is None:
+                            deadline = now + self.gather_s
+                        if now >= deadline:
+                            break
+                        self.cond.wait(min(deadline - now, 0.25))
+                    else:
+                        deadline = None
+                        self.cond.wait(0.25)
                 if self.stop and not (ready or drains or deads):
                     return
                 samples = np.zeros((S, self.blk), np.float32)
@@ -187,7 +214,11 @@ class MultiStreamServer:
                              if self.slots[i].pending
                              else np.zeros(0, np.float32))
                          for i in drains}
-            # device work OUTSIDE the lock: readers keep enqueueing
+            # device work OUTSIDE the lock: readers keep enqueueing.
+            # (A dispatch/fetch-pipelined variant was measured SLOWER here:
+            # the per-chunk request-reply protocol means clients in batch k
+            # cannot produce batch k+1 until k's replies, so the pipeline
+            # never overlaps and only defers replies by an iteration.)
             outs = self.multi.step(samples, active) if active.any() else None
             flush_outs = {i: self.multi.flush_stream(i, tail=tails[i])
                           for i in drains}
@@ -284,11 +315,12 @@ class MultiStreamServer:
 
 
 def serve_multi(srv, multi, max_connections=0, max_chunk=MAX_CHUNK_SAMPLES,
-                timeout=RECV_TIMEOUT_S, verbose=True):
+                timeout=RECV_TIMEOUT_S, verbose=True, gather_s=None):
     """Accept loop for the multi-client server: claims a slot per
     connection (blocking while all ``--streams`` slots are busy) and hands
     it to a reader thread; the coordinator batches ready streams."""
-    server = MultiStreamServer(multi, max_chunk=max_chunk, timeout=timeout)
+    server = MultiStreamServer(multi, max_chunk=max_chunk, timeout=timeout,
+                               gather_s=gather_s)
     coord = threading.Thread(target=server.coordinator, daemon=True)
     coord.start()
     served, threads = 0, []

@@ -416,6 +416,9 @@ class _StubMulti:
         self._lock = threading.Lock()
 
     def step(self, samples, active=None):
+        return self.step_fetch(self.step_dispatch(samples, active))
+
+    def step_dispatch(self, samples, active=None):
         import time
         with self._lock:
             self.steps += 1
@@ -427,6 +430,9 @@ class _StubMulti:
             active = np.ones(self.n_streams, bool)
         return [samples[i] + 1000.0 * (1 + i) if active[i] else None
                 for i in range(self.n_streams)]
+
+    def step_fetch(self, handle):
+        return handle
 
     def flush_stream(self, i, tail=None):
         t = np.zeros(0, np.float32) if tail is None else tail
