@@ -459,8 +459,9 @@ def _bench_serve_tcp_one(S, block, paced=False):
         for v in lat:
             a = np.asarray(v[1:])
             q = len(a) // 4
-            drifts.append(a[-q:].mean() - a[q : 2 * q].mean())
-        drift_ms = float(np.mean(drifts)) * 1000.0
+            if q >= 1:  # <5 chunks/stream: too short to estimate drift
+                drifts.append(a[-q:].mean() - a[q : 2 * q].mean())
+        drift_ms = float(np.mean(drifts)) * 1000.0 if drifts else 0.0
         print(json.dumps({
             "metric": "served_tcp_paced_reply_latency_ms",
             "value": round(float(p95), 1),

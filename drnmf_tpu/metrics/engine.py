@@ -205,6 +205,18 @@ def score_all_packed(est_list, ref_list, fs: int = 16000,
     for i in misaligned:
         d = int(delays[i])
         n = int(lens[i])
+        if n - abs(d) < max(flen, frame_len):
+            # A delay this large relative to the file is a spurious
+            # cross-correlation peak (noise-dominated estimate, or a file
+            # shorter than the lag search range), not a real misalignment:
+            # compensating would score (near-)empty slices and write NaN
+            # rows.  Keep the already-committed unshifted scores.
+            print(f"  WARNING: estimated delay of {d} samples for pair {i} "
+                  f"leaves <{max(flen, frame_len)} overlapping samples; "
+                  f"treating the estimate as spurious and keeping "
+                  f"unshifted scores")
+            delays[i] = 0
+            continue
         print(f"  WARNING: estimated delay of {d} samples between estimate "
               f"and reference for pair {i}; re-scoring after compensation")
         est = as_f32(est_list[i], n)

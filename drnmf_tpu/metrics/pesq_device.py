@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bss_eval import _next_pow2
 from .fused import pack_pair
 from ._pesq_model import (
     _ABS_THRESH,
@@ -227,7 +228,7 @@ def pesq_packed(ref_list, deg_list, fs: int = 16000):
     buckets = {}
     for i, (r, dsig) in enumerate(zip(ref_list, deg_list)):
         lens[i] = min(len(r), len(dsig))
-        L = 1 << max(int(lens[i] - 1).bit_length(), 10)  # >= 1024, pow2
+        L = max(_next_pow2(lens[i]), 1024)
         buckets.setdefault(L, []).append(i)
     pending = []
     for L, idxs in sorted(buckets.items()):

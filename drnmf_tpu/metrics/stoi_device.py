@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bss_eval import _next_pow2
 from .fused import pack_pair
 import scipy.signal
 
@@ -183,7 +184,7 @@ def stoi_packed_device(ref_list, est_list, fs: int = 16000):
     buckets = {}
     for i, (r, e) in enumerate(zip(ref_list, est_list)):
         lens[i] = min(len(r), len(e))
-        L = 1 << max(int(lens[i] - 1).bit_length(), 10)
+        L = max(_next_pow2(lens[i]), 1024)
         buckets.setdefault(L, []).append(i)
     pending = []
     for L, idxs in sorted(buckets.items()):

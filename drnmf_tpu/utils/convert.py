@@ -93,6 +93,8 @@ def validate_drnmf_import(params, config):
     }
     if config.nonnegative:
         expect["log_h0"] = (n2r,)
+    else:
+        expect["h0"] = (n2r,)  # plain trainable h0 (init_drnmf_params)
     alph_shape = (n2r,) if config.untie_alph else ()
     for base, shape in (("log_D", (f, n2r)), ("log_alph", alph_shape),
                         ("log_lam1", ())):

@@ -341,11 +341,15 @@ def serve_multi(srv, multi, max_connections=0, max_chunk=MAX_CHUNK_SAMPLES,
 
             th = threading.Thread(target=run, daemon=True)
             th.start()
+            # prune finished readers so a long-lived server holds O(live
+            # connections) thread objects, not one per connection ever served
+            threads = [t for t in threads if t.is_alive()]
             threads.append(th)
             served += 1
     finally:
         for th in threads:
-            th.join(timeout=timeout or 60)
+            if th.is_alive():
+                th.join(timeout=timeout or 60)
         server.shutdown()
         coord.join(timeout=10)
 

@@ -235,6 +235,16 @@ def test_validate_import_catches_transpose_and_mismatch(rng):
     with pytest.raises(ValueError, match="unexpected.*log_D_2"):
         validate_drnmf_import(extra, config)
 
+    # nonnegative=False: params carry plain 'h0' instead of 'log_h0'
+    # (init_drnmf_params) and must validate, not be reported as unexpected
+    cfg_nn = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=10.0, lam1=0.5, nonnegative=False,
+                         params_untied=("log_D", "log_alph"))
+    p_nn = {k: np.asarray(v)
+            for k, v in init_drnmf_params(cfg_nn, w).items()}
+    assert "h0" in p_nn and "log_h0" not in p_nn
+    validate_drnmf_import(p_nn, cfg_nn)
+
     lcfg = LSTMConfig(input_dim=5, hidden_dim=3, output_dim=5, K_layers=1)
     lp = {k: np.asarray(v) for k, v in init_lstm_params(lcfg).items()}
     validate_lstm_import(lp, lcfg)

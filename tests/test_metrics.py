@@ -419,6 +419,28 @@ def test_engine_ridge_escalation_matches_per_file(rng):
                                    err_msg=f"pair {i}")
 
 
+def test_engine_spurious_delay_guard(rng):
+    """A delay estimate that leaves fewer than max(FLEN, frame) samples of
+    overlap (short file + large correlation peak) is treated as spurious:
+    the unshifted first-pass scores are kept and no NaN row is written
+    (review r3: |d| ~ n made the compensation slice near-empty)."""
+    from drnmf_tpu.metrics.engine import score_all_packed
+
+    n, shift = 1000, 600  # overlap 400 < FLEN=512 -> guard trips
+    # white noise: the cross-correlation peak at the true lag is unambiguous
+    # (a periodic carrier would alias to a pitch-period lag instead)
+    ref = rng.standard_normal(n).astype(np.float32)
+    est = np.concatenate([np.zeros(shift, np.float32), ref[: n - shift]])
+    S, delays = score_all_packed([est], [ref], 16000)
+    assert delays[0] == 0  # reset by the guard
+    # the kept scores are the unshifted per-file scores (PESQ/STOI are NaN
+    # for a file shorter than STOI's analysis window on BOTH paths)
+    from drnmf_tpu.metrics.scoring import _score_pair
+    want = _score_pair(est, ref, 16000)
+    assert np.all(np.isfinite(S[0][:4])), S
+    np.testing.assert_allclose(S[0], want, rtol=5e-4, atol=2e-3)
+
+
 def test_engine_alignment_guard(rng):
     """A deliberately shifted estimate is detected (nonzero delay) and
     re-scored after compensation, landing near the aligned scores
