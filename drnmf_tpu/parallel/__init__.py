@@ -1,6 +1,8 @@
-from .mesh import make_mesh, shard_batch, replicate_params, sparse_nmf_sharded
+from .mesh import (make_mesh, make_mesh_2d, shard_batch, replicate_params,
+                   sparse_nmf_sharded)
 from .seqpipe import drnmf_scan_seq_pipelined
-from .tensor_parallel import drnmf_scan_tp, drnmf_scan_tp_train
+from .tensor_parallel import (drnmf_apply_tp_dp, drnmf_scan_tp,
+                              drnmf_scan_tp_train)
 
 __all__ = [
     "make_mesh",

@@ -44,6 +44,22 @@ def make_mesh(n_devices=None, axis_name="dp"):
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh_2d(n_dp, n_tp, axis_names=("dp", "tp")):
+    """2-D device mesh for combined data x tensor parallelism.
+
+    The tp axis is the FASTER-varying one: on real hardware consecutive
+    ``jax.devices()`` entries are ICI neighbors, so each tp subring's
+    per-unfold psums ride the shortest links while dp gradient psums cross
+    the slower dimension once per step."""
+    devices = jax.devices()
+    if len(devices) < n_dp * n_tp:
+        raise ValueError(
+            f"need {n_dp * n_tp} devices for a {n_dp}x{n_tp} mesh, "
+            f"have {len(devices)}")
+    return Mesh(
+        np.array(devices[: n_dp * n_tp]).reshape(n_dp, n_tp), axis_names)
+
+
 def shard_batch(arrays, mesh, axis_name="dp"):
     sharding = NamedSharding(mesh, P(axis_name))
     return tuple(jax.device_put(a, sharding) for a in arrays)

@@ -224,13 +224,39 @@ def drnmf_scan_tp_train(params, config, x, step_mask, mesh, axis_name="tp"):
     Comm: K psums of (B, 2r) per timestep (P times the bytes of the
     inference path's gathers -- the price of differentiability).
     """
-    n_tp = mesh.shape[axis_name]
-    h_dim = config.hidden_dim
-    if h_dim % n_tp:
-        raise ValueError(f"hidden_dim={h_dim} not divisible by tp={n_tp}")
+    _tp_train_validate(config, mesh.shape[axis_name])
+    local = _tp_train_local(config, axis_name, mesh.shape[axis_name])
+    # VMA-typed (no check_vma escape hatch): every cross-device value flows
+    # through a psum, which removes the device-varying type, so the
+    # replicated out_specs is verified by the type system -- unlike the
+    # gather formulation above, whose all_gather output stays typed varying.
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),  # params/x/mask replicated; compute sharded
+        out_specs=P(),
+    )
+    return shard(params, x, step_mask)
+
+
+def _tp_train_validate(config, n_tp):
+    if config.hidden_dim % n_tp:
+        raise ValueError(
+            f"hidden_dim={config.hidden_dim} not divisible by tp={n_tp}")
     if config.return_all_hidden or config.dropout_W or config.dropout_U:
         raise NotImplementedError("tp scan supports the plain cell only")
 
+
+def _tp_train_local(config, axis_name, n_tp, vary_axes=()):
+    """Per-device body of the dual (row-sharded/psum) TP recurrence; shared
+    by the 1-D ``drnmf_scan_tp_train`` and the 2-D ``drnmf_apply_tp_dp``.
+
+    ``vary_axes`` names mesh axes the INPUT batch is sharded over (dp in the
+    2-D layout): the scan carry starts from the replicated h0 but becomes
+    varying over those axes after mixing with x, so the initial carry is
+    pcast to the varying type up front (VMA carry types must be loop
+    -invariant)."""
+    h_dim = config.hidden_dim
     K = config.K_layers
     blk = h_dim // n_tp
     prec = _precision(config)
@@ -306,6 +332,8 @@ def drnmf_scan_tp_train(params, config, x, step_mask, mesh, axis_name="tp"):
         xT = jnp.swapaxes(x_loc, 0, 1)
         mT = jnp.swapaxes(m_loc, 0, 1)
         h_init = jnp.broadcast_to(h0[None, :], (bsz, h_dim))
+        if vary_axes:
+            h_init = jax.lax.pcast(h_init, vary_axes, to="varying")
 
         def step(h_prev, inp):
             x_t, m_t = inp
@@ -347,14 +375,42 @@ def drnmf_scan_tp_train(params, config, x, step_mask, mesh, axis_name="tp"):
         _, hs = jax.lax.scan(step, h_init, (xT, mT))
         return jnp.swapaxes(hs, 0, 1)
 
-    # VMA-typed (no check_vma escape hatch): every cross-device value flows
-    # through a psum, which removes the device-varying type, so the
-    # replicated out_specs is verified by the type system -- unlike the
-    # gather formulation above, whose all_gather output stays typed varying.
+    return local
+
+
+def drnmf_apply_tp_dp(params, config, x, step_mask, mesh,
+                      dp_axis="dp", tp_axis="tp"):
+    """Full DR-NMF forward (recurrence + heads + ratio mask) on a 2-D
+    ``(dp, tp)`` mesh -- the production sharding when the batch outgrows
+    one chip AND the dictionary outgrows one chip's HBM.
+
+    Batch rows are sharded over ``dp``; within each dp row the recurrence
+    contraction is sharded over ``tp`` (one (B/dp, 2r) psum per unfold,
+    riding the ICI of the tp subring only).  The heads and ratio mask are
+    local small matmuls on the psum-complete hidden states.  Exact: the
+    math is the single-device ``drnmf_forward`` with a different summation
+    layout (parity + gradient parity tested).  Differentiable end-to-end:
+    the loss's VJP inserts the dp-gradient psum through shard_map's
+    transpose, so ``jax.grad`` of a loss on this output is the standard
+    data-parallel gradient with tensor-sharded compute.
+    """
+    from ..models.drnmf import _heads, _ratio_mask
+
+    _tp_train_validate(config, mesh.shape[tp_axis])
+    hidden_local = _tp_train_local(config, tp_axis, mesh.shape[tp_axis],
+                                   vary_axes=(dp_axis,))
+
+    def local(params_loc, x_loc, m_loc):
+        hs = hidden_local(params_loc, x_loc, m_loc)
+        clean_est, noise_est = _heads(params_loc, config, hs)
+        return _ratio_mask(clean_est, noise_est, config.transform_before_irm)
+
     shard = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P()),  # params/x/mask replicated; compute sharded
-        out_specs=P(),
+        # params replicated; batch sharded over dp, replicated over tp.
+        # Output varies over dp only: the psum removed the tp-varying type.
+        in_specs=(P(), P(dp_axis), P(dp_axis)),
+        out_specs=P(dp_axis),
     )
     return shard(params, x, step_mask)

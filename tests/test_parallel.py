@@ -348,3 +348,53 @@ def test_tensor_parallel_dense_u_branch(rng):
     for k in g_ref:
         np.testing.assert_allclose(np.asarray(g_tp[k]), np.asarray(g_ref[k]),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_tp_dp_2d_forward_and_grad_parity(rng):
+    """Combined 2-D dp x tp mesh (4x2 over the 8 virtual devices): the full
+    forward (recurrence + heads + ratio mask) and the gradients of a
+    masked training loss match the single-device model exactly -- the
+    production sharding (batch over dp, contraction over tp)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import drnmf_forward, step_mask_from_input
+    from drnmf_tpu.parallel import drnmf_apply_tp_dp, make_mesh_2d
+    from drnmf_tpu.train import masked_mse_signal_approx
+
+    f, r, K = 9, 4, 3  # hidden 8 over 2-way tp
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K,
+                         params_untied=("log_D", "log_alph"))
+    params = init_drnmf_params(config, w)
+    x = rng.uniform(0, 1, (8, 7, f)).astype(np.float32)
+    x[2, 5:, :] = config.mask_value  # ragged batch: masked tail
+    xj = jnp.asarray(x)
+    sm = step_mask_from_input(xj, config.mask_value)
+    y = jnp.asarray(rng.uniform(0, 1, x.shape).astype(np.float32))
+    m = np.ones((8, 7, 1), np.float32)
+    m[2, 5:] = 0.0
+    m = jnp.asarray(m)
+
+    mesh = make_mesh_2d(4, 2)
+    assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+
+    irm_ref = np.asarray(drnmf_forward(params, config, xj))
+    irm_2d = np.asarray(drnmf_apply_tp_dp(params, config, xj, sm, mesh))
+    np.testing.assert_allclose(irm_2d, irm_ref, rtol=1e-5, atol=1e-6)
+
+    def loss_2d(p):
+        irm = drnmf_apply_tp_dp(p, config, xj, sm, mesh)
+        return masked_mse_signal_approx(irm, xj, y, m)
+
+    def loss_ref(p):
+        return masked_mse_signal_approx(drnmf_forward(p, config, xj), xj, y, m)
+
+    l2d, g_2d = jax.value_and_grad(loss_2d)(params)
+    lrf, g_ref = jax.value_and_grad(loss_ref)(params)
+    np.testing.assert_allclose(float(l2d), float(lrf), rtol=1e-6)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_2d[k]), np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-7, err_msg=k)
