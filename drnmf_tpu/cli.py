@@ -66,6 +66,11 @@ def main(argv=None):
                         help="data-parallel training over N devices "
                         "('auto' = all local devices when more than one, "
                         "'0'/'1' = off)")
+    parser.add_argument("--tp", default=0, type=int, metavar="N",
+                        help="tensor-parallel recurrence over N devices "
+                        "(DR-NMF training only; composes with --dp into a "
+                        "2-D dp x tp mesh -- batch over dp, the hidden "
+                        "contraction over tp)")
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -102,12 +107,28 @@ def main(argv=None):
     # data-parallel training mesh ('auto': every local device when the host
     # has more than one -- the SURVEY.md parallelism table's DP row)
     mesh = None
+    if args.tp > 1 and model_type != "unfolded_snmf":
+        parser.error("--tp applies to the DR-NMF recurrence only")
     if model_type in ("unfolded_snmf", "lstm"):
         import jax
 
         n_dev = len(jax.devices())
-        n_dp = n_dev if args.dp == "auto" else int(args.dp)
-        if n_dp > 1:
+        n_tp = max(args.tp, 1)
+        if args.dp == "auto":
+            n_dp = n_dev // n_tp if n_tp > 1 else n_dev
+        else:
+            n_dp = int(args.dp)
+        n_dp = max(n_dp, 1)
+        if n_tp > 1:
+            if n_dp * n_tp > n_dev:
+                parser.error(f"--dp {n_dp} x --tp {n_tp} exceeds "
+                             f"{n_dev} local devices")
+            from .parallel import make_mesh_2d
+
+            mesh = make_mesh_2d(n_dp, n_tp)
+            if not args.quiet:
+                print(f"2-D training mesh: dp={n_dp} x tp={n_tp}")
+        elif n_dp > 1:
             if n_dp > n_dev:
                 parser.error(f"--dp {n_dp} exceeds {n_dev} local devices")
             from .parallel import make_mesh

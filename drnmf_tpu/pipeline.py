@@ -305,6 +305,23 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
 
     use_dropout = config.dropout_W > 0 or config.dropout_U > 0
 
+    # 2-D dp x tp mesh (cli --tp): train through the tensor-sharded forward
+    # (drnmf_apply_tp_dp -- batch over dp, hidden contraction over tp).
+    # Exact (parity-tested), so checkpoints/scores are mesh-independent.
+    tp_sharded = mesh is not None and int(dict(mesh.shape).get("tp", 1)) > 1
+    if tp_sharded:
+        if use_dropout:
+            raise NotImplementedError(
+                "--tp training does not support dropout_W/dropout_U "
+                "(the tp scan implements the plain cell only)")
+        from .models.drnmf import step_mask_from_input
+        from .parallel import drnmf_apply_tp_dp
+
+        def loss_fn(p, x, y, mask):  # noqa: F811 -- tp-sharded override
+            sm = step_mask_from_input(x, config.mask_value)
+            irm = drnmf_apply_tp_dp(p, config, x, sm, mesh)
+            return masked_mse_signal_approx(irm, x, y, mask)
+
     def train_loss_fn(p, x, y, mask, rng):
         irm = drnmf_apply(p, config, x, rng=rng, training=True)
         return masked_mse_signal_approx(irm, x, y, mask)

@@ -167,7 +167,9 @@ def _shard_batch(batch, mesh):
         return tuple(jax.device_put(b) for b in batch)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n_dp = int(mesh.devices.size)
+    # pad to the BATCH-sharding axis only: on a 2-D (dp, tp) mesh rows
+    # shard over dp and replicate over tp
+    n_dp = int(mesh.shape.get("dp", mesh.devices.size))
     pad = (-batch[0].shape[0]) % n_dp
     if pad:
         batch = tuple(

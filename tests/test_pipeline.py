@@ -350,3 +350,34 @@ def test_predict_irm_interior_maskvalue_frame(rng):
     for i, ln in enumerate(lens):
         np.testing.assert_allclose(fast[i, :ln], full[i, :ln],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_unfolded_snmf_2d_mesh_training(setup, tmp_path):
+    """Full pipeline (SNMF recipe -> train -> enhance -> score) with the
+    combined 2-D dp x tp training mesh (cli --tp): batch over dp=4, the
+    recurrence contraction over tp=2, on the virtual 8-device mesh."""
+    from drnmf_tpu.parallel import make_mesh_2d
+
+    params_data, _ = setup
+    model = dict(MODEL_SMALL, epochs=2)  # hidden 16 over tp=2
+    mesh = make_mesh_2d(4, 2)
+    best, config, results = pipeline.run_unfolded_snmf(
+        model, params_data, str(tmp_path / "exp2d"), verbose=False,
+        splits=("valid",), mesh=mesh)
+    overall, _ = results["valid"]
+    assert overall.shape == (1, 6)
+    assert np.all(np.isfinite(overall[:, [0, 1, 2, 3, 5]]))
+
+
+def test_cli_tp_rejects_non_drnmf(tmp_path):
+    """--tp is a DR-NMF recurrence option; the CLI refuses it for the
+    lstm/snmf families instead of silently ignoring it."""
+    import yaml
+    from drnmf_tpu import cli
+
+    cfg = tmp_path / "params_lstm_x.yaml"
+    yaml.safe_dump({"hidden_dim": 8}, open(cfg, "w"))
+    data = tmp_path / "params_data.yaml"
+    yaml.safe_dump({}, open(data, "w"))
+    with pytest.raises(SystemExit):
+        cli.main(["-c", str(cfg), "-d", str(data), "--tp", "2"])
