@@ -71,6 +71,11 @@ def main(argv=None):
                         "(DR-NMF training only; composes with --dp into a "
                         "2-D dp x tp mesh -- batch over dp, the hidden "
                         "contraction over tp)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params + optimizer state over the dp "
+                        "axis (ZeRO-3 layout) instead of replicating -- "
+                        "per-device HBM for weights/Adam drops ~1/dp; "
+                        "numerically the same run (needs --dp > 1)")
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -109,6 +114,11 @@ def main(argv=None):
     mesh = None
     if args.tp > 1 and model_type != "unfolded_snmf":
         parser.error("--tp applies to the DR-NMF recurrence only")
+    if args.fsdp:
+        if model_type not in ("unfolded_snmf", "lstm"):
+            parser.error("--fsdp applies to trained models only")
+        # run control, not model identity: same numbers, different layout
+        params_model["fsdp"] = True
     if model_type in ("unfolded_snmf", "lstm"):
         import jax
 
@@ -136,6 +146,8 @@ def main(argv=None):
             mesh = make_mesh(n_dp)
             if not args.quiet:
                 print(f"data-parallel training over {n_dp} devices")
+        if args.fsdp and mesh is None:
+            parser.error("--fsdp requires a data-parallel mesh (--dp > 1)")
 
     from .utils import trace
 

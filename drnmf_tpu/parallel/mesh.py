@@ -78,6 +78,47 @@ def replicate_params(params, mesh):
     }
 
 
+def fsdp_param_sharding(value, mesh, axis_name="dp", min_elems=1 << 16):
+    """FSDP/ZeRO-3 placement rule for one parameter array: shard its
+    LARGEST ``dp``-divisible dimension over the data-parallel axis; small
+    or indivisible arrays stay replicated.
+
+    Sharding params (and, by propagation, their Adam moments) over dp cuts
+    per-device HBM for weights + optimizer state by ~1/dp -- the enabler
+    for dictionaries that outgrow one chip (at 2r=20k the flagship's K
+    (2r, 2r) U tensors plus two Adam moments alone exceed a v5e's 16 GB).
+    Exact: XLA all-gathers params where used and reduce-scatters grads, the
+    same sum as the replicated layout in a different order.
+    """
+    n = int(mesh.shape[axis_name])
+    shape = jnp.shape(value)
+    if n <= 1 or int(np.prod(shape, dtype=np.int64)) < min_elems:
+        return NamedSharding(mesh, P())
+    cands = [d for d in range(len(shape)) if shape[d] % n == 0]
+    if not cands:
+        return NamedSharding(mesh, P())
+    dim = max(cands, key=lambda d: shape[d])
+    spec = [None] * len(shape)
+    spec[dim] = axis_name
+    return NamedSharding(mesh, P(*spec))
+
+
+def fsdp_shard_params(params, mesh, axis_name="dp", min_elems=1 << 16):
+    """Place a parameter pytree under the FSDP rule (see
+    ``fsdp_param_sharding``).  Returns ``(placed_params, shardings)`` --
+    the shardings dict is reused as a ``with_sharding_constraint`` target
+    inside the train step so updated params keep the sharded layout."""
+    shardings = {
+        k: fsdp_param_sharding(v, mesh, axis_name, min_elems)
+        for k, v in params.items()
+    }
+    placed = {
+        k: jax.device_put(jnp.array(v, copy=True), shardings[k])
+        for k, v in params.items()
+    }
+    return placed, shardings
+
+
 def _masked_divergence(v, lam, beta, fmask):
     if beta == 1.0:
         d = v * jnp.log(v / lam) - v + lam

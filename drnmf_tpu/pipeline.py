@@ -293,7 +293,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
     params = init_drnmf_params(config, w_noisy)
 
     # 'resume' is run control, not model identity -- keep it out of the hash
-    h = config_hash(params_model, exclude=("resume",))
+    h = config_hash(params_model, exclude=("resume", "fsdp"))
     dump_yaml(params_model,
               os.path.join(folder_exp, "configs", f"params_unfolded_snmf_{h}.yaml"))
     savefile = os.path.join(folder_exp, "models", f"model_unfolded_snmf_{h}.npz")
@@ -387,7 +387,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
                 params, pretrain_loss_fn, train_data, valid_data, tc,
                 trainable_mask=drnmf_trainable_mask(config, params),
                 savefile=savefile_pretrain, histfile=histfile + "_pretrain",
-                mesh=mesh,
+                mesh=mesh, fsdp=bool(params_model.get("fsdp", False)),
             )
         pre_params, _ = load_checkpoint(savefile_pretrain)
         params = {k: np.asarray(v) for k, v in pre_params.items()}
@@ -407,7 +407,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
             eval_loss_fn=loss_fn if use_dropout else None,
             loss_takes_rng=use_dropout,
             resume=resume,
-            mesh=mesh,
+            mesh=mesh, fsdp=bool(params_model.get("fsdp", False)),
         )
     else:
         best_params, _ = load_checkpoint(savefile)
@@ -463,7 +463,7 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
     )
     params = init_lstm_params(config)
 
-    h = config_hash(params_model, exclude=("resume",))
+    h = config_hash(params_model, exclude=("resume", "fsdp"))
     dump_yaml(params_model,
               os.path.join(folder_exp, "configs", f"params_lstm_{h}.yaml"))
     savefile = os.path.join(folder_exp, "models", f"model_lstm_{h}.npz")
@@ -508,6 +508,7 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
             params, loss_fn, train_data, valid_data, tc,
             savefile=savefile, histfile=histfile,
             resume=resume, mesh=mesh,
+            fsdp=bool(params_model.get("fsdp", False)),
         )
     else:
         best_params, _ = load_checkpoint(savefile)

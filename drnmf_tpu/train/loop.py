@@ -183,7 +183,7 @@ def _shard_batch(batch, mesh):
 
 
 def make_train_step(loss_fn: Callable, optimizer, with_rng: bool = False,
-                    accumulate_loss: bool = False):
+                    accumulate_loss: bool = False, param_shardings=None):
     """loss_fn(params, x, y, mask[, rng]) -> scalar.  Returns jit'd step.
 
     ``with_rng=True`` threads a per-batch PRNG key into the loss (variational
@@ -200,7 +200,18 @@ def make_train_step(loss_fn: Callable, optimizer, with_rng: bool = False,
     every step of an epoch without a single host<->device synchronization
     (fetching the loss scalar per step was a blocking tunnel round trip 27
     times a second on the flagship schedule); per-batch history values are
-    identical -- they are fetched once per epoch."""
+    identical -- they are fetched once per epoch.
+
+    ``param_shardings`` (a pytree of ``NamedSharding`` matching params, from
+    ``fsdp_shard_params``) pins the UPDATED params to the FSDP layout:
+    without the constraint GSPMD may resolve the all-gather(param) ->
+    grad -> update cycle to a replicated output, silently un-sharding the
+    optimizer state after the first step."""
+
+    def _constrain(p):
+        if param_shardings is None:
+            return p
+        return jax.lax.with_sharding_constraint(p, param_shardings)
 
     if accumulate_loss:
         @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -212,7 +223,7 @@ def make_train_step(loss_fn: Callable, optimizer, with_rng: bool = False,
             else:
                 loss, grads = jax.value_and_grad(loss_fn)(params, x, y, mask)
             updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params = _constrain(optax.apply_updates(params, updates))
             return params, opt_state, loss_buf.at[step_ix].set(loss)
 
         return step_acc
@@ -224,7 +235,7 @@ def make_train_step(loss_fn: Callable, optimizer, with_rng: bool = False,
         else:
             loss, grads = jax.value_and_grad(loss_fn)(params, x, y, mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = _constrain(optax.apply_updates(params, updates))
         return params, opt_state, loss
 
     return step
@@ -268,6 +279,8 @@ def train_model(
     eval_loss_fn: Optional[Callable] = None,
     loss_takes_rng: bool = False,
     resume: bool = False,
+    fsdp: bool = False,
+    fsdp_min_elems: int = 1 << 16,
 ):
     """Fit with early stopping; returns (best_params, history).
 
@@ -284,10 +297,26 @@ def train_model(
     the completed epochs are replayed, not re-drawn.  The reference had no
     equivalent -- a killed run restarted from epoch 0 (best weights were
     kept but optimizer state and schedule were lost).
+
+    ``fsdp=True`` (requires ``mesh``) shards params -- and, through jit
+    sharding propagation, the Adam moments -- over the 'dp' axis instead of
+    replicating them (ZeRO-3 layout, ``parallel.mesh.fsdp_shard_params``):
+    per-device weight+optimizer HBM drops ~1/dp, enabling dictionaries that
+    outgrow one chip.  Numerically it is the same training run (XLA
+    all-gathers params at use and reduce-scatters gradients; trajectory
+    parity with the replicated layout is pinned by test).
     """
     # the train step donates its params/opt_state buffers; work on copies so
     # the caller's arrays stay valid
-    if mesh is not None:
+    param_shardings = None
+    if fsdp and mesh is None:
+        raise ValueError("fsdp=True requires a device mesh")
+    if fsdp:
+        from ..parallel.mesh import fsdp_shard_params
+
+        params, param_shardings = fsdp_shard_params(
+            params, mesh, min_elems=fsdp_min_elems)
+    elif mesh is not None:
         from ..parallel.mesh import replicate_params
 
         params = replicate_params(params, mesh)
@@ -295,8 +324,23 @@ def train_model(
         params = {k: jnp.array(v, copy=True) for k, v in params.items()}
     optimizer = make_optimizer(train_config, trainable_mask)
     opt_state = optimizer.init(params)
+    if fsdp:
+        # place the moments by the SAME shape-based rule as the params:
+        # mu/nu mirror param shapes -> identical shardings; scalars (count)
+        # replicate over the mesh.  (jit'ing optimizer.init does NOT
+        # propagate input shardings -- the zeros outputs have no data
+        # dependence on the params and get constant-folded onto one device.)
+        from ..parallel.mesh import fsdp_param_sharding
+
+        opt_shardings = jax.tree.map(
+            lambda v: fsdp_param_sharding(v, mesh, min_elems=fsdp_min_elems),
+            opt_state)
+        opt_state = jax.tree.map(
+            lambda v, s: jax.device_put(jnp.asarray(v), s),
+            opt_state, opt_shardings)
     step_fn = make_train_step(loss_fn, optimizer, with_rng=loss_takes_rng,
-                              accumulate_loss=True)
+                              accumulate_loss=True,
+                              param_shardings=param_shardings)
     eval_fn = make_eval_step(eval_loss_fn if eval_loss_fn is not None else loss_fn)
     state_file = (savefile + ".train_state") if (resume and savefile) else None
     resuming = bool(state_file and os.path.exists(state_file))
@@ -327,13 +371,22 @@ def train_model(
     if resuming:
         state, opt_state = _load_train_state(state_file, opt_state,
                                              frozen_source=frozen_np or None)
-        if mesh is not None:
+        if fsdp:
+            params = {
+                k: jax.device_put(jnp.asarray(v), param_shardings[k])
+                for k, v in state["params"].items()
+            }
+            opt_state = jax.tree.map(
+                lambda v, s: jax.device_put(jnp.asarray(v), s),
+                opt_state, opt_shardings,
+            )
+        elif mesh is not None:
             from ..parallel.mesh import replicate_params
 
             params = replicate_params(state["params"], mesh)
         else:
             params = {k: jnp.asarray(v) for k, v in state["params"].items()}
-        if mesh is not None:
+        if mesh is not None and not fsdp:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(mesh, P())

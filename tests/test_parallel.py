@@ -398,3 +398,113 @@ def test_tp_dp_2d_forward_and_grad_parity(rng):
     for k in g_ref:
         np.testing.assert_allclose(np.asarray(g_2d[k]), np.asarray(g_ref[k]),
                                    rtol=1e-4, atol=1e-7, err_msg=k)
+
+
+def test_fsdp_param_sharding_rule():
+    """FSDP placement (parallel.mesh.fsdp_param_sharding): the LARGEST
+    dp-divisible dimension shards over 'dp'; arrays below the size floor or
+    with no divisible dimension replicate; a sharded param's addressable
+    shard is 1/dp of the full array."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from drnmf_tpu.parallel import fsdp_param_sharding
+
+    mesh = make_mesh(8)
+    big = jnp.zeros((16, 24), jnp.float32)
+    s = fsdp_param_sharding(big, mesh, min_elems=64)
+    assert s.spec == P(None, "dp")  # 24 > 16: largest divisible dim
+    placed = jax.device_put(big, s)
+    assert placed.addressable_shards[0].data.shape == (16, 3)
+    # below the size floor -> replicated
+    assert fsdp_param_sharding(big, mesh, min_elems=1 << 16).spec == P()
+    # no dp-divisible dimension -> replicated
+    assert fsdp_param_sharding(
+        jnp.zeros((9, 13), jnp.float32), mesh, min_elems=1).spec == P()
+
+
+def test_fsdp_training_matches_replicated_dp(rng):
+    """ZeRO-3 layout == replicated layout, trajectory for trajectory: params
+    and Adam moments sharded over dp (fsdp=True) produce the same per-epoch
+    losses and the same best params as replicated data-parallel training
+    (the all-gather/reduce-scatter decomposition is the same sum)."""
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params, drnmf_apply
+    from drnmf_tpu.train import (
+        TrainConfig, train_model, masked_mse_signal_approx,
+    )
+
+    f, r = 9, 4  # hidden_dim 2r=8 divides the 8-device mesh; F=9 does not
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                         alph=10.0, lam1=0.2,
+                         params_untied=("log_D", "log_alph"),
+                         params_trainable=("log_D", "log_alph"))
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = init_drnmf_params(config, w)
+
+    def loss_fn(p, x, y, mask):
+        irm = drnmf_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    n, t = 20, 10
+    x = rng.uniform(0, 2, (n, t, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    mask = np.ones((n, t, 1), np.float32)
+    tc = TrainConfig(epochs=3, batch_size=16, learning_rate=1e-2,
+                     patience=50, verbose=False)
+
+    mesh = make_mesh(8)
+    best_rep, hist_rep = train_model(params, loss_fn, (x, y, mask),
+                                     (x, y, mask), tc, mesh=mesh)
+    best_fs, hist_fs = train_model(params, loss_fn, (x, y, mask),
+                                   (x, y, mask), tc, mesh=mesh,
+                                   fsdp=True, fsdp_min_elems=8)
+
+    lr = hist_rep.history["on_epoch_end"]
+    lf = hist_fs.history["on_epoch_end"]
+    np.testing.assert_allclose(lf["loss"], lr["loss"], rtol=1e-4)
+    np.testing.assert_allclose(lf["val_loss"], lr["val_loss"], rtol=1e-4)
+    for k in best_rep:
+        np.testing.assert_allclose(np.asarray(best_fs[k]),
+                                   np.asarray(best_rep[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fsdp_resume_continues_exactly(rng, tmp_path):
+    """Elastic resume under the FSDP layout: params and optimizer moments
+    are re-placed with their dp shardings at load, and the interrupted-and
+    -resumed run equals the uninterrupted one."""
+    import jax.numpy as jnp
+    from drnmf_tpu.train import TrainConfig, train_model
+
+    n, t, f = 12, 6, 8  # f=8 divides the mesh -> w/b shard over dp
+    x = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    mask = np.ones((n, t), np.float32)
+    params0 = {"w": jnp.zeros((f, f), jnp.float32),
+               "b": jnp.zeros((f,), jnp.float32)}
+
+    def loss_fn(p, xb, yb, mb):
+        pred = xb @ p["w"] + p["b"]
+        return jnp.mean((pred - yb) ** 2)
+
+    mesh = make_mesh(8)
+
+    def run(save, epochs):
+        return train_model(
+            dict(params0), loss_fn, (x, y, mask), (x, y, mask),
+            TrainConfig(epochs=epochs, batch_size=4, learning_rate=1e-2,
+                        verbose=False),
+            savefile=save, resume=True, mesh=mesh,
+            fsdp=True, fsdp_min_elems=8,
+        )
+
+    full, _ = run(str(tmp_path / "full.npz"), 6)
+    run(str(tmp_path / "part.npz"), 3)
+    assert (tmp_path / "part.npz.train_state").exists()
+    resumed, _ = run(str(tmp_path / "part.npz"), 6)
+
+    for k in full:
+        np.testing.assert_allclose(np.asarray(resumed[k]),
+                                   np.asarray(full[k]),
+                                   rtol=1e-6, atol=1e-7)

@@ -381,3 +381,37 @@ def test_cli_tp_rejects_non_drnmf(tmp_path):
     yaml.safe_dump({}, open(data, "w"))
     with pytest.raises(SystemExit):
         cli.main(["-c", str(cfg), "-d", str(data), "--tp", "2"])
+
+
+def test_unfolded_snmf_fsdp_training(setup, tmp_path):
+    """Full pipeline with the ZeRO-3 layout (cli --fsdp): params + Adam
+    moments sharded over dp=8; end-to-end scores stay finite.  fsdp is run
+    control, so the artifact hash matches a replicated run's."""
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.utils.config import config_hash
+
+    params_data, _ = setup
+    model = dict(MODEL_SMALL, epochs=2, fsdp=True)
+    assert (config_hash(model, exclude=("resume", "fsdp"))
+            == config_hash(dict(MODEL_SMALL, epochs=2),
+                           exclude=("resume", "fsdp")))
+    best, config, results = pipeline.run_unfolded_snmf(
+        model, params_data, str(tmp_path / "expfsdp"), verbose=False,
+        splits=("valid",), mesh=make_mesh(8))
+    overall, _ = results["valid"]
+    assert overall.shape == (1, 6)
+    assert np.all(np.isfinite(overall[:, [0, 1, 2, 3, 5]]))
+
+
+def test_cli_fsdp_requires_dp(tmp_path):
+    """--fsdp without a data-parallel mesh (--dp 1) is a usage error, not a
+    silent no-op."""
+    import yaml
+    from drnmf_tpu import cli
+
+    cfg = tmp_path / "params_unfolded_snmf_x.yaml"
+    yaml.safe_dump(dict(MODEL_SMALL), open(cfg, "w"))
+    data = tmp_path / "params_data.yaml"
+    yaml.safe_dump({}, open(data, "w"))
+    with pytest.raises(SystemExit):
+        cli.main(["-c", str(cfg), "-d", str(data), "--dp", "1", "--fsdp"])
