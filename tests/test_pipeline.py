@@ -415,3 +415,22 @@ def test_cli_fsdp_requires_dp(tmp_path):
     yaml.safe_dump({}, open(data, "w"))
     with pytest.raises(SystemExit):
         cli.main(["-c", str(cfg), "-d", str(data), "--dp", "1", "--fsdp"])
+
+
+def test_unfolded_snmf_fsdp_composes_with_2d_mesh(setup, tmp_path):
+    """--fsdp on a 2-D (dp, tp) mesh with SNMF-cost pretraining: params
+    shard over dp (the tp forward all-gathers them at use, FSDP
+    semantics); the pretrain fit (plain forward under GSPMD) and the
+    tp-sharded main fit both run; scores stay finite."""
+    from drnmf_tpu.parallel import make_mesh_2d
+
+    params_data, _ = setup
+    model = dict(MODEL_SMALL, epochs=2, fsdp=True,
+                 pretrain_with_snmf_cost=True)
+    mesh = make_mesh_2d(4, 2)
+    best, config, results = pipeline.run_unfolded_snmf(
+        model, params_data, str(tmp_path / "exp2dfs"), verbose=False,
+        splits=("valid",), mesh=mesh)
+    overall, _ = results["valid"]
+    assert overall.shape == (1, 6)
+    assert np.all(np.isfinite(overall[:, [0, 1, 2, 3, 5]]))
