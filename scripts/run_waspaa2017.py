@@ -272,6 +272,11 @@ def main():
     parser.add_argument("--data-config", default=None,
                         help="use an existing params_data.yaml instead of "
                         "generating the CHiME2 one (e.g. a synthetic corpus)")
+    parser.add_argument("--cli-args", default="",
+                        help="extra arguments forwarded verbatim to "
+                        "drnmf_tpu.cli for every grid run (e.g. "
+                        "'--dp 4 --tp 2 --fsdp' to train the whole grid "
+                        "on a 2-D mesh)")
     args = parser.parse_args()
 
     from drnmf_tpu import cli
@@ -325,6 +330,10 @@ def main():
             argv = ["-c", mp, "-d", data_path]
             if args.no_pesq:
                 argv.append("--no-pesq")
+            if args.cli_args:
+                import shlex
+
+                argv.extend(shlex.split(args.cli_args))
             print(f"== run: python -m drnmf_tpu.cli {' '.join(argv)}")
             if not args.dry_run:
                 cli.main(argv)

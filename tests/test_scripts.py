@@ -175,3 +175,14 @@ def test_serve_connection_rejects_oversize_chunk():
     finally:
         a.close()
         b.close()
+
+
+def test_run_waspaa2017_cli_args_passthrough(tmp_path):
+    """--cli-args forwards extra flags (e.g. parallelism) verbatim to every
+    grid run's drnmf_tpu.cli invocation."""
+    r = run([os.path.join(SCRIPTS, "run_waspaa2017.py"), "--smoke",
+             "--dry-run", "--cli-args", "--dp 4 --fsdp"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    run_lines = [l for l in r.stdout.splitlines() if l.startswith("== run:")]
+    assert run_lines
+    assert all("--dp 4 --fsdp" in l for l in run_lines)
