@@ -85,8 +85,9 @@ def fsdp_param_sharding(value, mesh, axis_name="dp", min_elems=1 << 16):
 
     Sharding params (and, by propagation, their Adam moments) over dp cuts
     per-device HBM for weights + optimizer state by ~1/dp -- the enabler
-    for dictionaries that outgrow one chip (at 2r=20k the flagship's K
-    (2r, 2r) U tensors plus two Adam moments alone exceed a v5e's 16 GB).
+    for dictionaries that outgrow one chip (at 2r=50k the flagship's two
+    frozen (2r, 2r) U tensors alone are ~20 GB, past a v5e's 16 GB; see
+    ``utils/memplan.py`` for the closed-form per-layout accounting).
     Exact: XLA all-gathers params where used and reduce-scatters grads, the
     same sum as the replicated layout in a different order.
     """
