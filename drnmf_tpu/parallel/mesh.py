@@ -83,7 +83,7 @@ def fsdp_param_sharding(value, mesh, axis_name="dp", min_elems=1 << 16):
     LARGEST ``dp``-divisible dimension over the data-parallel axis; small
     or indivisible arrays stay replicated.
 
-    Sharding params (and, by propagation, their Adam moments) over dp cuts
+    Sharding params (and, by the same rule, their Adam moments) over dp cuts
     per-device HBM for weights + optimizer state by ~1/dp -- the enabler
     for dictionaries that outgrow one chip (at 2r=50k the flagship's two
     frozen (2r, 2r) U tensors alone are ~20 GB, past a v5e's 16 GB; see

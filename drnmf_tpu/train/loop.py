@@ -298,9 +298,11 @@ def train_model(
     equivalent -- a killed run restarted from epoch 0 (best weights were
     kept but optimizer state and schedule were lost).
 
-    ``fsdp=True`` (requires ``mesh``) shards params -- and, through jit
-    sharding propagation, the Adam moments -- over the 'dp' axis instead of
-    replicating them (ZeRO-3 layout, ``parallel.mesh.fsdp_shard_params``):
+    ``fsdp=True`` (requires ``mesh``) shards params -- and, by the same
+    explicit shape-based placement, the Adam moments -- over the 'dp' axis
+    instead of replicating them (ZeRO-3 layout,
+    ``parallel.mesh.fsdp_shard_params``; tensors under ``fsdp_min_elems``
+    elements stay replicated):
     per-device weight+optimizer HBM drops ~1/dp, enabling dictionaries that
     outgrow one chip.  Numerically it is the same training run (XLA
     all-gathers params at use and reduce-scatters gradients; trajectory
