@@ -508,3 +508,35 @@ def test_fsdp_resume_continues_exactly(rng, tmp_path):
         np.testing.assert_allclose(np.asarray(resumed[k]),
                                    np.asarray(full[k]),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_fsdp_with_rng_loss(rng, tmp_path):
+    """FSDP composes with an rng-threaded training loss (variational
+    dropout path: loss_takes_rng=True); eval stays rng-free."""
+    import jax
+    import jax.numpy as jnp
+    from drnmf_tpu.train import TrainConfig, train_model
+
+    n, t, f = 8, 5, 8
+    x = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    mask = np.ones((n, t), np.float32)
+    params0 = {"w": jnp.zeros((f, f), jnp.float32)}
+
+    def train_loss(p, xb, yb, mb, key):
+        drop = jax.random.bernoulli(key, 0.8, xb.shape).astype(xb.dtype)
+        pred = (xb * drop) @ p["w"]
+        return jnp.mean((pred - yb) ** 2)
+
+    def eval_loss(p, xb, yb, mb):
+        return jnp.mean((xb @ p["w"] - yb) ** 2)
+
+    best, hist = train_model(
+        params0, train_loss, (x, y, mask), (x, y, mask),
+        TrainConfig(epochs=2, batch_size=4, learning_rate=1e-2,
+                    verbose=False),
+        mesh=make_mesh(8), fsdp=True, fsdp_min_elems=8,
+        eval_loss_fn=eval_loss, loss_takes_rng=True,
+    )
+    assert np.all(np.isfinite(hist.history["on_epoch_end"]["loss"]))
+    assert np.all(np.isfinite(np.asarray(best["w"])))
