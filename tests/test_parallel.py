@@ -540,3 +540,64 @@ def test_fsdp_with_rng_loss(rng, tmp_path):
     )
     assert np.all(np.isfinite(hist.history["on_epoch_end"]["loss"]))
     assert np.all(np.isfinite(np.asarray(best["w"])))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),                                       # folded U + factored S
+    dict(params_trainable=("log_D", "log_alph", "log_U1", "log_Uk")),
+])
+def test_layer_pipelined_scan_matches_single_device(rng, kw):
+    """Layer-sharded (pp) pipelined recurrence == single-device lax.scan:
+    device p runs only layer p, activations hand forward over the ring,
+    layer K-1's masked-held state rides the ring back as the next step's
+    U-term source. Covers the folded-U/factored-S fast path and (via
+    trainable U, which disables the fold) the dense-U path."""
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import _scan_hidden, step_mask_from_input
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel.layerpipe import drnmf_scan_layer_pipelined
+    import jax.numpy as jnp
+
+    f, r, K = 9, 3, 4
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K, **kw)
+    params = init_drnmf_params(config, w)
+    # make U structurally non-trivial when dense so the test is sharp
+    if "params_trainable" in kw:
+        params = dict(params)
+        params["log_U1"] = jnp.asarray(
+            rng.uniform(-3, 0, (2 * r, 2 * r)).astype(np.float32))
+        params["log_Uk"] = jnp.asarray(
+            rng.uniform(-6, -3, (2 * r, 2 * r)).astype(np.float32))
+
+    bsz, t_total = 8, 7  # B div pp(4); T arbitrary
+    x = rng.uniform(0, 1, (bsz, t_total, f)).astype(np.float32)
+    x[3, 5:, :] = config.mask_value  # held state must survive the ring
+    x[6, 2:, :] = config.mask_value
+    xj = jnp.asarray(x)
+    step_mask = step_mask_from_input(xj, config.mask_value)
+
+    ref = np.asarray(_scan_hidden(params, config, xj, step_mask))
+    mesh = make_mesh(4, axis_name="pp")
+    out = np.asarray(
+        drnmf_scan_layer_pipelined(params, config, xj, step_mask, mesh))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_layer_pipelined_rejects_mismatched_k(rng):
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import step_mask_from_input
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel.layerpipe import drnmf_scan_layer_pipelined
+    import jax.numpy as jnp
+
+    f, r = 9, 3
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2)
+    params = init_drnmf_params(config, w)
+    x = jnp.zeros((8, 4, f), jnp.float32)
+    sm = step_mask_from_input(x, config.mask_value)
+    with pytest.raises(ValueError, match="must equal the pp axis"):
+        drnmf_scan_layer_pipelined(params, config, x, sm,
+                                   make_mesh(4, axis_name="pp"))
