@@ -601,3 +601,32 @@ def test_layer_pipelined_rejects_mismatched_k(rng):
     with pytest.raises(ValueError, match="must equal the pp axis"):
         drnmf_scan_layer_pipelined(params, config, x, sm,
                                    make_mesh(4, axis_name="pp"))
+
+
+def test_layer_pipelined_grad_parity(rng):
+    """Gradients THROUGH the layer pipeline equal the single-device scan's
+    (ppermute transposes to the reverse ring; the wave fori_loop has a
+    static trip count)."""
+    import jax
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import _scan_hidden, step_mask_from_input
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel.layerpipe import drnmf_scan_layer_pipelined
+
+    f, r, K = 9, 3, 4
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K)
+    params = init_drnmf_params(config, w)
+    x = jnp.asarray(rng.uniform(0, 1, (8, 6, f)).astype(np.float32))
+    sm = step_mask_from_input(x, config.mask_value)
+    mesh = make_mesh(4, axis_name="pp")
+
+    g_pp = jax.grad(lambda p: jnp.mean(
+        drnmf_scan_layer_pipelined(p, config, x, sm, mesh) ** 2))(params)
+    g_1 = jax.grad(lambda p: jnp.mean(
+        _scan_hidden(p, config, x, sm) ** 2))(params)
+    for k in g_1:
+        np.testing.assert_allclose(np.asarray(g_pp[k]), np.asarray(g_1[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
