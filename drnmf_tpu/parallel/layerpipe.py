@@ -91,7 +91,9 @@ def drnmf_scan_layer_pipelined(params, config, x, step_mask, mesh,
         elif S:
             s_stack = jnp.stack(S)  # (K-1, 2r, 2r), rows-of-S layout
         if not folded:
-            u_stack = jnp.stack(U)  # (K, 2r, 2r)
+            # U = [U1^T] + [Uk^T]*(K-1): store the two distinct matrices,
+            # not K copies (at 2r=2000 each is 16 MB)
+            u_stack = jnp.stack([U[0], U[1] if K > 1 else U[0]])
 
         def layer_apply(kk, h_prev, hidden, x_t):
             """One layer's pre-activation + activation for its wave tuple.
@@ -104,7 +106,7 @@ def drnmf_scan_layer_pipelined(params, config, x, step_mask, mesh,
                 u_k = jnp.where(kk == 0, t1,
                                 jnp.broadcast_to(U.c * rs, t1.shape))
             else:
-                u_k = dot(h_prev, u_stack[kk])
+                u_k = dot(h_prev, u_stack[jnp.minimum(kk, 1)])
             pre0 = u_k + dot(x_t, w_stack[0])
             km1 = jnp.maximum(kk - 1, 0)
             if factored:
