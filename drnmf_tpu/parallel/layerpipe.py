@@ -3,9 +3,8 @@
 Completes the parallelism matrix (dp / tp / sp / 2-D dp x tp / FSDP /
 **pp**) for the one axis the others leave alone: the K unfolded ISTA
 layers themselves (SimpleDeepRNN stacking, custom_layers.py:104-412 --
-the reference ran all layers on one GPU).  Device p owns layer p's
-weights and computes ONLY that layer; activations hand forward over ICI
-with ``ppermute``.
+the reference ran all layers on one GPU).  Device p COMPUTES only layer
+p; activations hand forward over ICI with ``ppermute``.
 
 The cross-time feedback (layer K-1's masked-held state at t-1 feeds every
 layer's U term at t, enhance.py:162-204) makes this a RING pipeline: a
@@ -19,10 +18,15 @@ single-device scan.  Exact: the schedule only reorders where layer
 applications run, not the math (parity with ``_scan_hidden`` is pinned
 bitwise-level by test).
 
-What pp shards that dp/tp/sp cannot: per-layer weight residency.  With
-untied log_D (the paper grid's configuration) each device touches only
-its own layer's (F, 2r) dictionary factors -- the only axis that divides
-weight *working set* by depth K rather than by hidden width or batch.
+What pp shards is COMPUTE, not weight residency: params ride in
+replicated (``in_specs=P()``) and every device materializes the stacked
+per-layer factors, selecting its own layer's slice by ``axis_index`` --
+so per-device HBM for weights is unchanged versus the single-device
+scan.  (True per-layer residency would shard the stacks over 'pp' in
+``in_specs``; at this model family's weight scale -- K x (F, 2r) ~ 2 MB
+per layer -- there is nothing to win, so the simpler replicated layout
+is kept.)  What pp uniquely divides is the per-device *matmul work* of
+the depth axis, 1/K of the layer applications per device.
 """
 
 from functools import partial
@@ -53,6 +57,11 @@ def drnmf_scan_layer_pipelined(params, config, x, step_mask, mesh,
     K = config.K_layers
     if K != n_pp:
         raise ValueError(f"K_layers={K} must equal the pp axis size {n_pp}")
+    if K < 2:
+        # degenerate pipeline (and the K=1 model has no S matrices for the
+        # dense-S trace path to reference) -- use the plain scan instead
+        raise ValueError(
+            "layer pipelining requires K_layers >= 2; use _scan_hidden")
     if config.return_all_hidden or config.dropout_W or config.dropout_U:
         raise NotImplementedError(
             "layer-pipelined scan supports the plain cell only")

@@ -603,6 +603,27 @@ def test_layer_pipelined_rejects_mismatched_k(rng):
                                    make_mesh(4, axis_name="pp"))
 
 
+def test_layer_pipelined_rejects_k1(rng):
+    """K=1 (pp axis of 1) is a degenerate pipeline and the dense-S branch
+    would trace an unbound S stack (advisor r3 finding) -- rejected with
+    a clear error instead."""
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import step_mask_from_input
+    from drnmf_tpu.parallel import make_mesh
+    from drnmf_tpu.parallel.layerpipe import drnmf_scan_layer_pipelined
+    import jax.numpy as jnp
+
+    f, r = 9, 3
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=1)
+    params = init_drnmf_params(config, w)
+    x = jnp.zeros((2, 4, f), jnp.float32)
+    sm = step_mask_from_input(x, config.mask_value)
+    with pytest.raises(ValueError, match="K_layers >= 2"):
+        drnmf_scan_layer_pipelined(params, config, x, sm,
+                                   make_mesh(1, axis_name="pp"))
+
+
 def test_layer_pipelined_grad_parity(rng):
     """Gradients THROUGH the layer pipeline equal the single-device scan's
     (ppermute transposes to the reverse ring; the wave fori_loop has a
