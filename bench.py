@@ -1,4 +1,4 @@
-"""Benchmark: enhancement real-time factor per chip.
+"""Benchmark: enhancement real-time factor per chip (+ train / loop / score).
 
 Runs the complete DR-NMF enhancement compute path -- STFT featurization,
 K-layer unfolded-ISTA recurrence over time, Wiener-style ratio mask, masked
@@ -7,12 +7,21 @@ utterances, and reports audio-seconds processed per wall-second.
 
 North star (BASELINE.md): > 100x real-time per TPU v5e chip on the flagship
 model (DR-NMF K=5, hidden 2r=2000, F=257, 16 kHz, N=512/hop=128 STFT).
-Prints one JSON line: value = real-time factor, vs_baseline = value / 100.
 
-``python bench.py --train`` additionally benchmarks the full training step
-(forward + backward + Adam at batch 32, maxlen 500 -- the reference's
-schedule, BASELINE.md "Iterations per epoch") and prints a second JSON line
-with training steps/second.
+The DEFAULT run (what the driver invokes) covers the whole perf story --
+enhance RTF+MFU, train step+MFU, train LOOP steps/s, scoring-engine RTF --
+printing one JSON line per stage as it completes and ONE summary headline
+line LAST (value = enhance real-time factor, vs_baseline = value / 100,
+secondary metrics as extra fields).  Stages after the first are fault-
+isolated: a failing stage records an error field instead of killing the
+capture.  ``--only-enhance`` restores the single-metric run;
+``--serve/--serve-tcp/--snmf`` add the longer optional benchmarks.
+
+Backend bring-up is retried in a bounded loop (``_ensure_backend``): under
+axon the TPU rides a fragile tunnel and a fresh client can fail fast with
+UNAVAILABLE while a previous claim drains -- the round-3 driver capture
+died on exactly that (BENCH_r03.json).  In-process waiting is safe; what
+must never happen is killing a claiming client.
 """
 
 import json
@@ -21,6 +30,55 @@ import sys
 import time
 
 import numpy as np
+
+
+def _ensure_backend(budget_s=None):
+    """Bring the TPU backend up, riding out transient UNAVAILABLE.
+
+    Tries ``jax.devices()``; on failure clears the cached backend error
+    (``jax.extend.backend.clear_backends`` -- the axon get_backend hook
+    survives it) and retries in-process until the budget (default 1500 s,
+    env ``DRNMF_BENCH_BACKEND_BUDGET_S``) is spent, then prints a
+    structured failure line and exits 1.  Progress notes go to stderr so
+    a timed-out capture still shows how far bring-up got."""
+    import jax
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("DRNMF_BENCH_BACKEND_BUDGET_S",
+                                        "1500"))
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            devs = jax.devices()
+            if attempt > 1:
+                print(f"[bench] backend up on attempt {attempt}",
+                      file=sys.stderr, flush=True)
+            return devs
+        except Exception as e:  # RuntimeError: UNAVAILABLE from plugin init
+            msg = str(e).splitlines()[-1][:200] if str(e) else repr(e)
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                print(json.dumps({
+                    "metric": "drnmf_enhance_rtf_per_chip",
+                    "value": None, "unit": "x_realtime",
+                    "vs_baseline": None,
+                    "error": (f"TPU backend unavailable after {attempt} "
+                              f"attempts / {budget_s:.0f}s: {msg}"),
+                }))
+                sys.exit(1)
+            wait = min(60.0, remaining)
+            print(f"[bench] backend init failed (attempt {attempt}): {msg}"
+                  f" -- retrying in {wait:.0f}s ({remaining:.0f}s left)",
+                  file=sys.stderr, flush=True)
+            try:
+                import jax.extend.backend as _jeb
+
+                _jeb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(wait)
 
 
 def _enable_compile_cache():
@@ -155,18 +213,16 @@ def main():
     tflops, mfu = _mfu(
         drnmf_forward_flops(config, batch, n_frames, n_fft=n_fft), wall
     )
-    print(
-        json.dumps(
-            {
-                "metric": "drnmf_enhance_rtf_per_chip",
-                "value": round(rtf, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtf / 100.0, 4),
-                "model_tflops_per_s": tflops,
-                "mfu": mfu,
-            }
-        )
-    )
+    res = {
+        "metric": "drnmf_enhance_rtf_per_chip",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 100.0, 4),
+        "model_tflops_per_s": tflops,
+        "mfu": mfu,
+    }
+    print(json.dumps(res), flush=True)
+    return res
 
 
 def bench_train():
@@ -211,14 +267,16 @@ def bench_train():
         3 * drnmf_forward_flops(config, bsz, maxlen), per_step
     )
     # reference scale: 17296 iterations/epoch at 100% data (BASELINE.md)
-    print(json.dumps({
+    res = {
         "metric": "drnmf_train_steps_per_second",
         "value": round(1.0 / per_step, 2),
         "unit": "steps_per_s",
         "epoch_seconds_full_chime2": round(per_step * 17296, 1),
         "model_tflops_per_s": tflops,
         "mfu": mfu,
-    }))
+    }
+    print(json.dumps(res), flush=True)
+    return res
 
 
 def bench_loop():
@@ -285,14 +343,16 @@ def bench_loop():
         results[mode] = n_steps / wall
 
     speedup = results["accumulate"] / results["per_step_fetch"]
-    print(json.dumps({
+    res = {
         "metric": "train_loop_steps_per_second",
         "value": round(results["accumulate"], 2),
         "unit": "steps_per_s",
         "per_step_fetch_steps_per_s": round(results["per_step_fetch"], 2),
         "speedup_vs_per_step_fetch": round(speedup, 3),
         "epoch_seconds_full_chime2": round(17296 / results["accumulate"], 1),
-    }))
+    }
+    print(json.dumps(res), flush=True)
+    return res
 
 
 def bench_serving():
@@ -614,7 +674,7 @@ def bench_score():
     rtf_e, S_e = results["engine"]
     agree = float(np.max(np.abs(S_pf - S_b)))
     agree_engine = float(np.max(np.abs(S_pf - S_e)))
-    print(json.dumps({
+    res = {
         "metric": "scoring_rtf_per_chip",
         "value": round(max(rtf_pf, rtf_b, rtf_e), 2),
         "unit": "x_realtime",
@@ -623,12 +683,59 @@ def bench_score():
         "engine_rtf": round(rtf_e, 2),
         "max_abs_path_disagreement": round(agree, 4),
         "max_abs_engine_disagreement": round(agree_engine, 4),
-    }))
+    }
+    print(json.dumps(res), flush=True)
+    return res
+
+
+def _run_default():
+    """Driver entry: enhance + train step + train loop + scoring engine,
+    each fault-isolated, then ONE summary headline line LAST (the driver
+    parses the tail's JSON line -- it must carry the whole story even if
+    an intermediate stage's own line scrolls out of the captured tail)."""
+    results, failures = {}, {}
+    for name, fn in (("enhance", main), ("train", bench_train),
+                     ("loop", bench_loop), ("score", bench_score)):
+        t0 = time.perf_counter()
+        try:
+            results[name] = fn() or {}
+        except SystemExit:
+            raise
+        except Exception as e:  # keep capturing the remaining stages
+            tail = str(e).splitlines()[-1][:160] if str(e) else ""
+            failures[name] = f"{type(e).__name__}: {tail}"
+            print(f"[bench] stage {name} FAILED: {failures[name]}",
+                  file=sys.stderr, flush=True)
+        print(f"[bench] stage {name}: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+
+    enh = results.get("enhance", {})
+    line = {
+        "metric": "drnmf_enhance_rtf_per_chip",
+        "value": enh.get("value"),
+        "unit": "x_realtime",
+        "vs_baseline": enh.get("vs_baseline"),
+        "mfu": enh.get("mfu"),
+        "train_steps_per_s": results.get("train", {}).get("value"),
+        "train_mfu": results.get("train", {}).get("mfu"),
+        "loop_steps_per_s": results.get("loop", {}).get("value"),
+        "scoring_engine_rtf": results.get("score", {}).get("engine_rtf"),
+    }
+    if failures:
+        line["failed_stages"] = failures
+    print(json.dumps(line), flush=True)
+    if "enhance" in failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
     _enable_compile_cache()
-    main()
+    _ensure_backend()
+    _flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    if not _flags:
+        _run_default()  # the driver's invocation: the full default suite
+    else:
+        main()  # flagged runs: headline first, then the requested extras
     if "--train" in sys.argv:
         bench_train()
     if "--loop" in sys.argv:

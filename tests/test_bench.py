@@ -1,0 +1,69 @@
+"""bench.py harness plumbing (the driver's perf capture, VERDICT r3 #1).
+
+Pins the parts that must not regress without a TPU in the loop: the
+bounded backend bring-up retry, the fault isolation of the default stage
+suite, and the final summary headline line being the LAST JSON line with
+every secondary metric folded in.
+"""
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+
+
+def _json_lines(out):
+    return [json.loads(l) for l in out.strip().splitlines()
+            if l.startswith("{")]
+
+
+def test_run_default_fault_isolation_and_summary(monkeypatch, capsys):
+    """A failing mid-suite stage records an error field; the LAST stdout
+    JSON line is the headline with all secondary metrics."""
+    monkeypatch.setattr(bench, "main", lambda: {
+        "metric": "drnmf_enhance_rtf_per_chip", "value": 38000.0,
+        "vs_baseline": 380.0, "mfu": 0.28})
+    def boom():
+        raise RuntimeError("tunnel reset\nUNAVAILABLE: socket closed")
+    monkeypatch.setattr(bench, "bench_train", boom)
+    monkeypatch.setattr(bench, "bench_loop", lambda: {
+        "metric": "train_loop_steps_per_second", "value": 27.5})
+    monkeypatch.setattr(bench, "bench_score", lambda: {
+        "metric": "scoring_rtf_per_chip", "value": 196.5,
+        "engine_rtf": 196.5})
+
+    bench._run_default()
+    out = capsys.readouterr().out
+    last = _json_lines(out)[-1]
+    assert last["metric"] == "drnmf_enhance_rtf_per_chip"
+    assert last["value"] == 38000.0
+    assert last["loop_steps_per_s"] == 27.5
+    assert last["scoring_engine_rtf"] == 196.5
+    assert last["train_steps_per_s"] is None
+    assert "UNAVAILABLE" in last["failed_stages"]["train"]
+
+
+def test_run_default_exits_nonzero_when_enhance_fails(monkeypatch, capsys):
+    """The headline stage failing makes the capture rc!=0 (the driver must
+    see the run as failed), but the other stages still report."""
+    def boom():
+        raise RuntimeError("UNAVAILABLE")
+    monkeypatch.setattr(bench, "main", boom)
+    ok = {"value": 1.0}
+    monkeypatch.setattr(bench, "bench_train", lambda: dict(ok, mfu=0.07))
+    monkeypatch.setattr(bench, "bench_loop", lambda: dict(ok))
+    monkeypatch.setattr(bench, "bench_score", lambda: dict(ok, engine_rtf=2.0))
+    with pytest.raises(SystemExit) as ei:
+        bench._run_default()
+    assert ei.value.code == 1
+    last = _json_lines(capsys.readouterr().out)[-1]
+    assert last["value"] is None
+    assert last["train_steps_per_s"] == 1.0
+
+
+def test_ensure_backend_returns_devices():
+    devs = bench._ensure_backend(budget_s=5)
+    assert devs and devs[0].platform == "cpu"  # conftest pins cpu
