@@ -63,9 +63,16 @@ def compute_scores(est_file, ref_file, compute_pesq=True):
 
 def score_taskfiles(enhanced_files, reference_files, savefile=None,
                     compute_pesq=True, flag_rescore=False, n_workers=8,
-                    verbose=False):
+                    verbose=False, align="guard"):
     """Score a list of file pairs with caching.  Returns (S, labels):
-    S is (n_files, 6)."""
+    S is (n_files, 6).
+
+    ``align``: "guard" (default -- the in-repo mask pipeline emits
+    sample-aligned pairs) compensates constant delays the engine's
+    +-128 ms estimate flags; "full" runs the P.862-style unbounded +
+    per-utterance host alignment on every pair (the general-scorer mode,
+    scripts/score_audio.py).  Only the packed engine path honors it; the
+    per-file fallback paths score pairs as given."""
     if savefile is not None and os.path.isfile(savefile) and not flag_rescore:
         data = np.load(savefile)
         return data["S"], list(SCORE_LABELS)
@@ -122,7 +129,7 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
             from .engine import score_all_packed
 
             S, _ = score_all_packed(ests, refs, fs_ref[0],
-                                    compute_pesq=compute_pesq)
+                                    compute_pesq=compute_pesq, align=align)
             scores = list(S)
         elif len(set(fs_ref)) == 1:
             from .stoi import stoi_packed

@@ -46,7 +46,14 @@ def main():
                         "score_audio.m:225)")
     parser.add_argument("--rescore", action="store_true",
                         help="ignore cached score files")
+    parser.add_argument("--no-align", action="store_true",
+                        help="skip the P.862-style time alignment "
+                        "(unbounded + per-utterance delay compensation; on "
+                        "by default like the reference's pesq_16kHz stack, "
+                        "score_audio.m:225). The engine's +-128 ms constant-"
+                        "delay guard still applies.")
     args = parser.parse_args()
+    align = "guard" if args.no_align else "full"
 
     refs = read_list(args.ref)
 
@@ -72,6 +79,7 @@ def main():
             S, _ = score_taskfiles(
                 enh_snr, refs_snr, savefile=savefile,
                 compute_pesq=not args.no_pesq, flag_rescore=args.rescore,
+                align=align,
             )
             for label, val in zip(SCORE_LABELS, S.mean(axis=0)):
                 print(f"  mean {label}: {val:.3f}")
@@ -85,7 +93,7 @@ def main():
                      f"{len(refs)} reference files")
     S, _ = score_taskfiles(
         enh, refs, savefile=args.savefile, compute_pesq=not args.no_pesq,
-        flag_rescore=args.rescore,
+        flag_rescore=args.rescore, align=align,
     )
     for label, val in zip(SCORE_LABELS, S.mean(axis=0)):
         print(f"mean {label}: {val:.3f}")

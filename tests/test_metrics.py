@@ -660,3 +660,162 @@ def test_engine_short_file_bucket(rng):
         want = _score_pair(ests[i], refs[i], 16000)
         np.testing.assert_allclose(S[i], want, rtol=5e-4, atol=2e-3,
                                    err_msg=f"pair {i}")
+
+
+# ---------------------------------------------------------------------------
+# round-4 P.862-style time alignment (align.py + engine align="full")
+# ---------------------------------------------------------------------------
+
+def _gappy_speech(rng, n_utts=2, utt=16000, gap=8000):
+    """Speech-like bursts separated by silence -- utterance structure for
+    the P.862-style alignment tests."""
+    parts = [np.zeros(gap, np.float32)]
+    for _ in range(n_utts):
+        parts.append(_speechlike(rng, utt))
+        parts.append(np.zeros(gap, np.float32))
+    return np.concatenate(parts)
+
+
+def _shift(x, d):
+    """x delayed by d samples (d<0: advanced), same length."""
+    if d >= 0:
+        return np.concatenate([np.zeros(d, np.float32), x[: len(x) - d]])
+    return np.concatenate([x[-d:], np.zeros(-d, np.float32)])
+
+
+def test_align_estimate_delay_unbounded(rng):
+    """Constant delays well beyond the engine's +-2047 guard range are
+    recovered exactly by the coarse-envelope + fine estimator."""
+    from drnmf_tpu.metrics.align import estimate_delay
+
+    ref = _gappy_speech(rng)
+    est = ref + 0.02 * rng.standard_normal(len(ref)).astype(np.float32)
+    for d in (0, 160, -300, 5000, -4096, 12000):
+        got = estimate_delay(_shift(est, d), ref, 16000)
+        assert got.d == d, (d, got)
+        assert got.peak > 0.5
+
+
+def test_align_pair_piecewise(rng):
+    """Per-utterance delays are recovered and compensate_piecewise leaves
+    zero residual delay."""
+    from drnmf_tpu.metrics.align import (align_pair, compensate_piecewise,
+                                         estimate_delay, split_utterances)
+
+    ref = _gappy_speech(rng, n_utts=2)
+    est = ref + 0.02 * rng.standard_normal(len(ref)).astype(np.float32)
+    utts_true = split_utterances(ref, 16000)
+    assert len(utts_true) == 2
+    # shift each utterance by a different amount (seams in the gaps)
+    es = np.zeros_like(est)
+    true_d = [100, 400]
+    for (s0, s1), d in zip(utts_true, true_d):
+        lo, hi = s0 + d, min(len(es), s1 + d)
+        es[lo:hi] = est[s0 : s0 + (hi - lo)]
+    utts, delays, g = align_pair(es, ref, 16000)
+    assert delays == true_d
+    ea, ra = compensate_piecewise(es, ref, utts, delays)
+    assert estimate_delay(ea, ra, 16000).d == 0
+
+
+def _noisy_active(rng, ref, amp=0.05):
+    """ref + noise restricted to active samples, so shift-compensation
+    trims (which drop silent edges) don't change what is scored."""
+    mask = (np.abs(ref) > 0).astype(np.float32)
+    return ref + amp * mask * rng.standard_normal(len(ref)).astype(
+        np.float32)
+
+
+def test_engine_full_alignment_large_constant_shift(rng):
+    """align='full' recovers a shift far beyond MAX_LAG (where the guard
+    tier cannot) and the compensated scores land on the aligned ones.
+    The exact-span check: the compensated pair IS (est[:n-d], ref[:n-d]),
+    so its scores must match that slice's to engine precision."""
+    from drnmf_tpu.metrics.engine import MAX_LAG, score_all_packed
+
+    ref = _gappy_speech(rng)
+    est = _noisy_active(rng, ref)
+    n = len(ref)
+    d = 2 * MAX_LAG + 906  # 5000 samples, 312 ms
+    S0, _ = score_all_packed([est], [ref], 16000, align="off")
+    S_span, _ = score_all_packed([est[: n - d]], [ref[: n - d]], 16000,
+                                 align="off")
+    S, delays = score_all_packed([_shift(est, d)], [ref], 16000,
+                                 align="full")
+    assert delays[0] == d
+    np.testing.assert_allclose(S[0], S_span[0], rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(S[0], S0[0], rtol=0.05, atol=0.25)
+
+
+def test_engine_full_alignment_piecewise(rng):
+    """align='full' on a pair whose two utterances carry different delays:
+    per-utterance compensation lands the scores near the aligned ones
+    (the guard tier would compensate at best one of the delays)."""
+    from drnmf_tpu.metrics.engine import score_all_packed
+    from drnmf_tpu.metrics.align import split_utterances
+
+    ref = _gappy_speech(rng, n_utts=2)
+    est = _noisy_active(rng, ref)
+    utts = split_utterances(ref, 16000)
+    es = np.zeros_like(est)
+    for (s0, s1), d in zip(utts, [700, 3200]):
+        lo, hi = s0 + d, min(len(es), s1 + d)
+        es[lo:hi] = est[s0 : s0 + (hi - lo)]
+    S0, _ = score_all_packed([est], [ref], 16000, align="off")
+    S, _ = score_all_packed([es], [ref], 16000, align="full")
+    np.testing.assert_allclose(S[0], S0[0], rtol=0.05, atol=0.25)
+
+
+def test_engine_constant_compensation_stays_on_device(rng, monkeypatch):
+    """A fully-shifted corpus is compensated WITHOUT repacking: the
+    constant-delay re-pass reuses the resident device buffers with
+    adjusted unpack offsets (VERDICT r3 next #8 -- round 3 re-scored
+    shifted pairs through the per-file host path).  pack_pair must run
+    exactly once per bucket."""
+    import drnmf_tpu.metrics.engine as eng
+
+    calls = {"n": 0}
+    real_pack = eng.pack_pair
+
+    def counting_pack(*a, **kw):
+        calls["n"] += 1
+        return real_pack(*a, **kw)
+
+    monkeypatch.setattr(eng, "pack_pair", counting_pack)
+
+    ests, refs = [], []
+    for k in range(6):
+        # white-noise signals: the bounded device cross-correlation is
+        # unambiguous (a periodic carrier aliases to a pitch-period lag)
+        n = 12000 + 1000 * k
+        ref = (0.1 * rng.standard_normal(n)).astype(np.float32)
+        est = ref + 0.02 * rng.standard_normal(n).astype(np.float32)
+        refs.append(ref)
+        ests.append(_shift(est, 800))
+    n_buckets = len({1 << int(np.ceil(np.log2(len(r) + 512)))
+                     for r in refs})
+    S, delays = eng.score_all_packed(ests, refs, 16000, align="guard")
+    assert calls["n"] == n_buckets  # no second packing for the re-pass
+    assert np.all(delays == 800)
+    assert np.all(np.isfinite(S[:, [0, 1, 2, 3, 5]]))
+
+
+def test_scoring_align_full_passthrough(rng, tmp_path):
+    """score_taskfiles(align='full') wires through to the engine: a wav
+    pair shifted beyond the guard range scores like the aligned pair."""
+    from drnmf_tpu.dsp.wav import wavwrite
+    from drnmf_tpu.metrics.scoring import score_taskfiles
+
+    ref = _gappy_speech(rng)
+    est = _noisy_active(rng, ref)
+    d = 4000
+    paths = {}
+    for name, sig in [("ref", ref), ("est", _shift(est, d)),
+                      ("est0", est)]:
+        p = str(tmp_path / f"{name}.wav")
+        wavwrite(p, 16000, sig)
+        paths[name] = p
+    # two pairs so the packed engine path (len > 1) is taken
+    S, _ = score_taskfiles([paths["est"], paths["est0"]],
+                           [paths["ref"], paths["ref"]], align="full")
+    np.testing.assert_allclose(S[0], S[1], rtol=0.05, atol=0.25)
