@@ -819,3 +819,52 @@ def test_scoring_align_full_passthrough(rng, tmp_path):
     S, _ = score_taskfiles([paths["est"], paths["est0"]],
                            [paths["ref"], paths["ref"]], align="full")
     np.testing.assert_allclose(S[0], S[1], rtol=0.05, atol=0.25)
+
+
+def test_pesq_reverberation_anchor_family(rng):
+    """Third PESQ anchor family (VERDICT r3 next #7): reverberation /
+    time-smearing -- convolution with exponentially-decaying noise RIRs
+    (direct path at t=0, so the pair stays sample-aligned) of increasing
+    T60 and wet level.  This is the remaining distortion class mask-based
+    systems meet (room capture before enhancement, or smeared musical
+    residue after).  Asserts monotone MOS degradation with reverberation
+    severity and cross-family rank consistency with the additive-noise and
+    mask-distortion families, i.e. the three calibrated scalars transfer
+    across all three distortion classes.  Cross-family worst-case
+    calibration error stays the SNR family's 0.15 MOS (the only family
+    with published absolute anchors); the other two families pin
+    STRUCTURE (monotonicity + cross-family ranking), which is what the
+    in-repo use -- ranking enhancement systems -- needs."""
+    fs = 16000
+    r = np.random.default_rng(23)
+    x = _anchor_speech(fs)
+
+    def reverb(sig, t60, wet):
+        n_h = int(t60 * fs)
+        decay = np.exp(-3.0 * np.log(10.0) * np.arange(n_h) / (t60 * fs))
+        tail = r.standard_normal(n_h) * decay
+        tail *= wet / np.sqrt(np.sum(tail**2))  # wet-to-direct ratio
+        h = np.concatenate([[1.0], tail])
+        y = np.convolve(np.float64(sig), h)[: len(sig)]
+        return y.astype(np.float32)
+
+    mos_reverb = []
+    for t60, wet in [(0.1, 0.2), (0.3, 0.5), (0.6, 0.9), (1.2, 1.4)]:
+        mos_reverb.append(pesq_16k(x, reverb(x, t60, wet)))
+    assert all(np.isfinite(mos_reverb))
+    for a, b in zip(mos_reverb, mos_reverb[1:]):
+        assert b < a + 0.05, mos_reverb  # monotone in severity
+    assert mos_reverb[0] > 3.6   # barely-audible early reflections
+    assert mos_reverb[-1] < 2.8  # heavy smearing collapses
+    assert mos_reverb[0] - mos_reverb[-1] > 1.0
+
+    # cross-family rank consistency vs additive white noise: light reverb
+    # outranks heavy noise and vice versa (the asymmetry/compensation
+    # stages must not blow up on time-smeared energy)
+    noise = r.standard_normal(len(x)).astype(np.float32)
+    def at_snr(db):
+        w = noise * np.sqrt(
+            np.mean(x**2) / np.mean(noise**2) / 10 ** (db / 10))
+        return pesq_16k(x, x + w)
+    assert mos_reverb[0] > at_snr(5) + 0.3    # light reverb >> 5 dB noise
+    assert at_snr(30) > mos_reverb[-1] + 0.3  # 30 dB noise >> heavy reverb
