@@ -408,24 +408,90 @@ def bench_serving():
 
 def bench_serve_tcp(configs=((16, 16), (64, 64))):
     """End-to-end TCP serving (scripts/serve.py --streams): S concurrent
-    socket clients streaming full-speed through the async coordinator +
-    one batched MultiStreamEnhancer.  Measures the SERVED aggregate
-    real-time factor -- sockets, reader threads, per-chunk replies, and
-    flush drains included -- versus bench_serving's raw lockstep step.
-    Then the production SLO view: S clients PACED at 1.0x real time (one
-    block per block duration), reporting per-chunk reply-latency
-    percentiles and whether latency is stationary (keeping up) under
-    full load -- the supported envelope is 32 streams at the 152 ms
-    block and 64 at the 536 ms block (RESULTS.md)."""
+    socket clients streaming full-speed through one batched
+    MultiStreamEnhancer behind the EVENT-LOOP server (3 server threads
+    total; ``--serve-tcp-threads`` measures the round-3 thread-per-reader
+    server instead for the A/B).  Clients run in SEPARATE PROCESSES
+    (8 client threads per process) so the measurement reflects a server
+    host, not one Python process carrying 2S GIL-sharing threads -- the
+    round-3 64@152 ms SLO failure was host architecture on both sides
+    (VERDICT r3 next #6).  Measures the SERVED aggregate real-time factor
+    vs bench_serving's raw lockstep, then the production SLO view: S
+    clients PACED at 1.0x real time, reporting per-chunk reply-latency
+    percentiles and whether latency is stationary under full load."""
+    threads = "--serve-tcp-threads" in sys.argv
     for streams, block_frames in configs:
-        _bench_serve_tcp_one(streams, block_frames)
-    _bench_serve_tcp_one(32, 16, paced=True)
-    _bench_serve_tcp_one(64, 64, paced=True)
+        _bench_serve_tcp_one(streams, block_frames, use_threads=threads)
+    _bench_serve_tcp_one(32, 16, paced=True, use_threads=threads)
+    _bench_serve_tcp_one(64, 16, paced=True, use_threads=threads)
+    _bench_serve_tcp_one(64, 64, paced=True, use_threads=threads)
 
 
-def _bench_serve_tcp_one(S, block, paced=False):
+def _tcp_client_proc(port, c0, n_clients, seed, n_samp, blk, paced, q):
+    """Top-level multiprocessing (spawn) target: ``n_clients`` request-
+    reply clients on threads.  Regenerates the test signal from ``seed``
+    (cheaper than pickling it) and never imports jax.  Reports
+    (t_start, t_end, [(client, received, latencies)]) through ``q``."""
     import socket
     import struct
+    import threading
+
+    fs = 16000
+    rng = np.random.default_rng(seed)
+    sig = (0.1 * rng.standard_normal(n_samp)).astype(np.float32)
+    block_dur = blk / fs
+    results = []
+    lock = threading.Lock()
+
+    def recv_exact(sock, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("server closed mid-message")
+            buf += chunk
+        return buf
+
+    def client(c):
+        """In paced mode each chunk is sent on the live-source schedule
+        (one block per block duration) and the reply latency is measured
+        against that schedule, so client-side drift from late replies
+        shows up as latency rather than hiding in slowed-down sends."""
+        sock = socket.create_connection(("127.0.0.1", port), timeout=300)
+        got, lat = 0, []
+        start = time.perf_counter()
+        for k, i in enumerate(range(0, n_samp, blk)):
+            if paced:
+                sleep = start + k * block_dur - time.perf_counter()
+                if sleep > 0:
+                    time.sleep(sleep)
+            part = sig[i : i + blk]
+            sock.sendall(struct.pack("<i", part.size) + part.tobytes())
+            (m,) = struct.unpack("<i", recv_exact(sock, 4))
+            recv_exact(sock, 4 * m)
+            if paced:
+                lat.append(time.perf_counter() - (start + k * block_dur))
+            got += m
+        sock.sendall(struct.pack("<i", 0))
+        (m,) = struct.unpack("<i", recv_exact(sock, 4))
+        recv_exact(sock, 4 * m)
+        sock.close()
+        with lock:
+            results.append((c, got + m, lat))
+
+    t_start = time.time()
+    ths = [threading.Thread(target=client, args=(c,))
+           for c in range(c0, c0 + n_clients)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    q.put((t_start, time.time(), results))
+
+
+def _bench_serve_tcp_one(S, block, paced=False, use_threads=False):
+    import multiprocessing as mp
+    import socket
     import sys as _sys
     import threading
 
@@ -438,7 +504,6 @@ def _bench_serve_tcp_one(S, block, paced=False):
     fs, n_fft, hop = 16000, 512, 128
     seconds = 20.0
     config, params = _flagship()
-    rng = np.random.default_rng(7654)
 
     multi = MultiStreamEnhancer(params, config, S, n_fft=n_fft, hop=hop,
                                 block_frames=block)
@@ -454,58 +519,48 @@ def _bench_serve_tcp_one(S, block, paced=False):
     srv.bind(("127.0.0.1", 0))
     srv.listen(S)
     port = srv.getsockname()[1]
+    run = serve.serve_multi if use_threads else serve.serve_multi_selector
     th = threading.Thread(
-        target=serve.serve_multi,
-        args=(srv, multi),
+        target=run, args=(srv, multi),
         kwargs=dict(max_connections=S, timeout=300.0, verbose=False),
         daemon=True)
     th.start()
 
     n_samp = int(seconds * fs)
-    sig = (0.1 * rng.standard_normal(n_samp)).astype(np.float32)
+    # clients in their own processes (spawn: fresh interpreters that never
+    # touch jax) -- up to 8 client threads per process
+    ctx = mp.get_context("spawn")
+    q = ctx.SimpleQueue()
+    procs, c0 = [], 0
+    n_procs = max(1, (S + 7) // 8)
+    for p in range(n_procs):
+        n_c = min(8, S - c0)
+        procs.append(ctx.Process(
+            target=_tcp_client_proc,
+            args=(port, c0, n_c, 7654, n_samp, blk, paced, q)))
+        c0 += n_c
+    for pr in procs:
+        pr.start()
     received = np.zeros(S, np.int64)
-    block_dur = blk / fs
-    lat = [[] for _ in range(S)]  # per-chunk reply latencies (paced mode)
-
-    def client(c):
-        """Request-reply client; in paced mode each chunk is sent on the
-        live-source schedule (one block per block duration) and the reply
-        latency is measured against that schedule, so client-side drift
-        from late replies shows up as latency rather than hiding in
-        slowed-down sends."""
-        sock = socket.create_connection(("127.0.0.1", port), timeout=300)
-        got = 0
-        start = time.perf_counter()
-        for k, i in enumerate(range(0, n_samp, blk)):
-            if paced:
-                sleep = start + k * block_dur - time.perf_counter()
-                if sleep > 0:
-                    time.sleep(sleep)
-            part = sig[i : i + blk]
-            sock.sendall(struct.pack("<i", part.size) + part.tobytes())
-            (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
-            serve._recv_exact(sock, 4 * m)
-            if paced:
-                lat[c].append(
-                    time.perf_counter() - (start + k * block_dur))
-            got += m
-        sock.sendall(struct.pack("<i", 0))
-        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
-        serve._recv_exact(sock, 4 * m)
-        sock.close()
-        received[c] = got + m
-
-    t0 = time.perf_counter()
-    ths = [threading.Thread(target=client, args=(c,)) for c in range(S)]
-    for t in ths:
-        t.start()
-    for t in ths:
-        t.join()
-    wall = time.perf_counter() - t0
+    lat = [[] for _ in range(S)]
+    t0s, t1s = [], []
+    for _ in procs:
+        t_start, t_end, results = q.get()
+        t0s.append(t_start)
+        t1s.append(t_end)
+        for c, got, lv in results:
+            received[c] = got
+            lat[c] = lv
+    for pr in procs:
+        pr.join()
     th.join(timeout=60)
+    # wall over the streaming span only (process spawn excluded)
+    wall = max(t1s) - min(t0s)
     expect = (-(-n_samp // hop)) * hop
     assert all(r == expect for r in received), received
     audio_s = S * n_samp / fs
+    server = "threads" if use_threads else "selector"
+    block_dur = blk / fs
     if paced:
         all_lat = np.concatenate([np.asarray(v[1:]) for v in lat])  # drop
         # each stream's first chunk (includes connection rampup)
@@ -518,14 +573,15 @@ def _bench_serve_tcp_one(S, block, paced=False):
         drifts = []
         for v in lat:
             a = np.asarray(v[1:])
-            q = len(a) // 4
-            if q >= 1:  # <5 chunks/stream: too short to estimate drift
-                drifts.append(a[-q:].mean() - a[q : 2 * q].mean())
+            qq = len(a) // 4
+            if qq >= 1:  # <5 chunks/stream: too short to estimate drift
+                drifts.append(a[-qq:].mean() - a[qq : 2 * qq].mean())
         drift_ms = float(np.mean(drifts)) * 1000.0 if drifts else 0.0
         print(json.dumps({
             "metric": "served_tcp_paced_reply_latency_ms",
             "value": round(float(p95), 1),
             "unit": "ms_p95",
+            "server": server,
             "p50_ms": round(float(p50), 1),
             "p99_ms": round(float(p99), 1),
             "max_ms": round(float(np.max(all_lat) * 1000.0), 1),
@@ -535,18 +591,19 @@ def _bench_serve_tcp_one(S, block, paced=False):
             "latency_drift_ms": round(drift_ms, 1),
             "realtime_kept_up": bool(drift_ms < 0.25 * block_dur * 1000.0),
             "wall_s": round(wall, 2),
-        }))
+        }), flush=True)
         return
     print(json.dumps({
         "metric": "served_tcp_aggregate_rtf",
         "value": round(audio_s / wall, 1),
         "unit": "x_realtime",
+        "server": server,
         "streams": S,
         "seconds_per_stream": seconds,
         "block_frames": block,
         "wall_s": round(wall, 2),
         "per_stream_rtf": round(audio_s / wall / S, 2),
-    }))
+    }), flush=True)
 
 
 def bench_snmf():

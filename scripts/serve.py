@@ -33,6 +33,8 @@ bit-exact offline-equal output of the sequential mode.
 
 import argparse
 import os
+import queue
+import selectors
 import socket
 import struct
 import sys
@@ -354,6 +356,470 @@ def serve_multi(srv, multi, max_connections=0, max_chunk=MAX_CHUNK_SAMPLES,
         coord.join(timeout=10)
 
 
+_FLUSH = object()  # inbox sentinel: the client requested flush-and-close
+
+
+class _ESlot:
+    """Event-loop server state for one connected stream."""
+
+    def __init__(self):
+        self.conn = None
+        self.rbuf = bytearray()     # unparsed socket bytes
+        self.want = 4               # bytes needed to finish current field
+        self.in_header = True       # parsing the int32 length header?
+        self.inbox = []             # parsed chunks not yet committed
+        self.owed = False           # a committed chunk awaits its reply
+        self.pending = []           # committed samples awaiting blocks
+        self.pending_len = 0
+        self.outbox = []            # enhanced arrays awaiting the reply
+        self.blocks_taken = 0
+        self.blocks_done = 0
+        self.flushing = False
+        self.flush_out = None
+        self.wbuf = bytearray()     # reply bytes awaiting the socket
+        self.close_after_write = False
+        self.dead = False           # connection failed mid-stream
+        self.need_recycle = False   # device state must be reset
+        self.last_rx = 0.0
+
+    def pop_block(self, blk):
+        out, need = [], blk
+        while need:
+            a = self.pending[0]
+            if len(a) <= need:
+                out.append(self.pending.pop(0))
+                need -= len(a)
+            else:
+                out.append(a[:need])
+                self.pending[0] = a[need:]
+                need = 0
+        self.pending_len -= blk
+        return np.concatenate(out)
+
+
+class SelectorStreamServer:
+    """Event-loop multi-client server over one MultiStreamEnhancer.
+
+    The thread-per-reader coordinator (:class:`MultiStreamServer`) could
+    not turn the crank every 128 ms at 64 streams: S reader threads plus
+    the coordinator meant ~65 GIL-sharing threads, and every iteration's
+    ``notify_all`` woke all of them (RESULTS.md round-3 SLO table -- the
+    64@152 ms failure was host-architecture, the chip had 1.6x margin).
+    Here ONE selector thread owns every socket -- non-blocking chunk
+    parsing and reply writes -- and ONE coordinator thread owns the
+    device; cross-thread wakeups are a byte on a self-pipe (device ->
+    selector) and a Condition shared by exactly two threads (selector ->
+    coordinator).  Per-connection protocol, reply timing, and outputs are
+    exactly the thread server's: chunk k's reply is sent once every full
+    block queued by chunks 1..k has been stepped and its output landed
+    (pipelined senders see chunks committed strictly one reply at a
+    time, matching the sequential reader's recv -> wait -> reply order).
+    """
+
+    def __init__(self, multi, max_chunk=MAX_CHUNK_SAMPLES,
+                 timeout=RECV_TIMEOUT_S, gather_s=None):
+        self.multi = multi
+        self.blk = multi.block_samples
+        self.max_chunk = max_chunk
+        self.timeout = timeout
+        self.gather_s = (0.25 * self.blk / 16000.0
+                         if gather_s is None else gather_s)
+        self.lock = threading.Lock()
+        self.cond = threading.Condition(self.lock)
+        self.slots = [_ESlot() for _ in range(multi.n_streams)]
+        self.stop = False
+        self.failed = None
+        self.sel = selectors.DefaultSelector()
+        self._wake_r, self._wake_w = socket.socketpair()
+        self._wake_r.setblocking(False)
+        self.sel.register(self._wake_r, selectors.EVENT_READ, "wake")
+        self._newconns = queue.SimpleQueue()
+        self._write_flags = set()   # slot ids with fresh wbuf bytes
+
+    # -- shared helpers -----------------------------------------------------
+    def _wake_selector(self):
+        try:
+            self._wake_w.send(b"x")
+        except OSError:
+            pass
+
+    def _check_failed(self):
+        if self.failed is not None:
+            raise ConnectionError(
+                f"server coordinator failed: {self.failed!r}")
+
+    def _advance(self, i):
+        """Under lock: commit inbox chunks / evaluate the owed reply for
+        slot i.  Returns True when new reply bytes were queued (the caller
+        must ensure the selector flushes them)."""
+        s = self.slots[i]
+        queued = False
+        while True:
+            if s.owed:
+                if s.flushing:
+                    if s.flush_out is None:
+                        break  # coordinator still draining
+                    parts = s.outbox + [s.flush_out]
+                    out = (np.concatenate(parts) if parts
+                           else np.zeros(0, np.float32))
+                    s.outbox = []
+                    out = np.asarray(out, np.float32)
+                    s.wbuf += struct.pack("<i", out.size) + out.tobytes()
+                    s.owed = False
+                    s.close_after_write = True
+                    queued = True
+                    break
+                if s.pending_len < self.blk \
+                        and s.blocks_done == s.blocks_taken:
+                    out = (np.concatenate(s.outbox) if s.outbox
+                           else np.zeros(0, np.float32))
+                    s.outbox = []
+                    out = np.asarray(out, np.float32)
+                    s.wbuf += struct.pack("<i", out.size) + out.tobytes()
+                    s.owed = False
+                    queued = True
+                else:
+                    break
+            elif s.inbox:
+                item = s.inbox.pop(0)
+                if item is _FLUSH:
+                    s.flushing = True
+                    s.owed = True
+                    self.cond.notify_all()
+                else:
+                    s.pending.append(item)
+                    s.pending_len += len(item)
+                    s.owed = True
+                    if s.pending_len >= self.blk:
+                        self.cond.notify_all()
+            else:
+                break
+        return queued
+
+    # -- coordinator (device owner) -----------------------------------------
+    def coordinator(self):
+        try:
+            self._coordinator_loop()
+        except BaseException as e:
+            with self.cond:
+                self.failed = e
+                self.cond.notify_all()
+            self._wake_selector()
+            raise
+
+    def _actionable(self):
+        ready = [i for i, s in enumerate(self.slots)
+                 if s.conn is not None and not s.dead
+                 and s.pending_len >= self.blk]
+        drains = [i for i, s in enumerate(self.slots)
+                  if s.conn is not None and not s.dead and s.flushing
+                  and s.pending_len < self.blk and s.flush_out is None]
+        recycles = [i for i, s in enumerate(self.slots) if s.need_recycle]
+        return ready, drains, recycles
+
+    def _n_live(self):
+        return sum(1 for s in self.slots
+                   if s.conn is not None and not s.dead and not s.flushing)
+
+    def _coordinator_loop(self):
+        S = self.multi.n_streams
+        while True:
+            with self.cond:
+                deadline = None
+                while True:
+                    ready, drains, recycles = self._actionable()
+                    if drains or recycles or self.stop:
+                        break
+                    if ready:
+                        if len(ready) >= self._n_live():
+                            break
+                        now = time.monotonic()
+                        if deadline is None:
+                            deadline = now + self.gather_s
+                        if now >= deadline:
+                            break
+                        self.cond.wait(min(deadline - now, 0.25))
+                    else:
+                        deadline = None
+                        self.cond.wait(0.25)
+                if self.stop and not (ready or drains or recycles):
+                    return
+                samples = np.zeros((S, self.blk), np.float32)
+                active = np.zeros(S, bool)
+                for i in ready:
+                    samples[i] = self.slots[i].pop_block(self.blk)
+                    self.slots[i].blocks_taken += 1
+                    active[i] = True
+                tails = {i: (np.concatenate(self.slots[i].pending)
+                             if self.slots[i].pending
+                             else np.zeros(0, np.float32))
+                         for i in drains}
+            # device work OUTSIDE the lock (selector keeps parsing)
+            outs = self.multi.step(samples, active) if active.any() else None
+            flush_outs = {i: self.multi.flush_stream(i, tail=tails[i])
+                          for i in drains}
+            for i in recycles:
+                self.multi.reset_stream(i)
+            poke = False
+            with self.cond:
+                for i in ready:
+                    if outs is not None and outs[i] is not None \
+                            and outs[i].size:
+                        self.slots[i].outbox.append(outs[i])
+                    self.slots[i].blocks_done += 1
+                for i, fo in flush_outs.items():
+                    self.slots[i].flush_out = fo
+                for i in recycles:
+                    self.slots[i].__init__()  # frees the slot
+                    self.cond.notify_all()
+                for i in set(ready) | set(flush_outs):
+                    if self._advance(i):
+                        self._write_flags.add(i)
+                        poke = True
+            if poke:
+                self._wake_selector()
+
+    # -- selector (socket owner) ----------------------------------------------
+    def _fail_conn(self, i, reason=None):
+        """Selector thread: drop connection i and hand its device state to
+        the coordinator for recycling."""
+        s = self.slots[i]
+        if s.conn is None:
+            return
+        try:
+            self.sel.unregister(s.conn)
+        except (KeyError, ValueError):
+            pass
+        try:
+            s.conn.close()
+        except OSError:
+            pass
+        with self.cond:
+            s.dead = True
+            s.need_recycle = True
+            self.cond.notify_all()
+
+    def _finish_conn(self, i):
+        """Selector thread: clean close after the flush reply drained
+        (flush_stream already reset the device state)."""
+        s = self.slots[i]
+        try:
+            self.sel.unregister(s.conn)
+        except (KeyError, ValueError):
+            pass
+        try:
+            s.conn.close()
+        except OSError:
+            pass
+        with self.cond:
+            s.__init__()  # frees the slot for the accept loop
+            self.cond.notify_all()
+
+    def _on_readable(self, i):
+        s = self.slots[i]
+        try:
+            data = s.conn.recv(262144)
+        except (BlockingIOError, InterruptedError):
+            return
+        except OSError:
+            self._fail_conn(i)
+            return
+        if not data:
+            if not (s.close_after_write and s.wbuf):
+                self._fail_conn(i)
+            return
+        s.last_rx = time.monotonic()
+        s.rbuf += data
+        poke = False
+        bad = False
+        with self.cond:
+            while len(s.rbuf) >= s.want:
+                if s.in_header:
+                    (n,) = struct.unpack("<i", s.rbuf[:4])
+                    del s.rbuf[:4]
+                    if n < 0 or n > self.max_chunk:
+                        bad = True  # _fail_conn takes this lock: defer
+                        break
+                    if n == 0:
+                        s.inbox.append(_FLUSH)
+                        s.want = 4
+                    else:
+                        s.in_header = False
+                        s.want = 4 * n
+                else:
+                    arr = np.frombuffer(bytes(s.rbuf[: s.want]),
+                                        dtype="<f4")
+                    del s.rbuf[: s.want]
+                    s.inbox.append(arr)
+                    s.in_header = True
+                    s.want = 4
+            if not bad and self._advance(i):
+                poke = True
+        if bad:
+            self._fail_conn(i)
+            return
+        if poke:
+            self._flush_writes(i)
+
+    def _flush_writes(self, i):
+        """Selector thread: push slot i's queued reply bytes; keep
+        EVENT_WRITE interest while the socket back-pressures."""
+        s = self.slots[i]
+        with self.cond:
+            buf = bytes(s.wbuf)
+            s.wbuf = bytearray()
+        sent = 0
+        try:
+            while sent < len(buf):
+                m = s.conn.send(buf[sent:])
+                if m == 0:
+                    break
+                sent += m
+        except (BlockingIOError, InterruptedError):
+            pass
+        except OSError:
+            self._fail_conn(i)
+            return
+        rest = buf[sent:]
+        with self.cond:
+            if rest:
+                s.wbuf = bytearray(rest) + s.wbuf
+            drained = not s.wbuf
+            close = drained and s.close_after_write
+        events = selectors.EVENT_READ | (
+            0 if drained else selectors.EVENT_WRITE)
+        if close:
+            self._finish_conn(i)
+            return
+        try:
+            self.sel.modify(s.conn, events, i)
+        except (KeyError, ValueError):
+            pass
+
+    def selector_loop(self):
+        while True:
+            with self.lock:
+                if self.stop or self.failed is not None:
+                    break
+            for key, events in self.sel.select(timeout=0.25):
+                if key.data == "wake":
+                    try:
+                        while self._wake_r.recv(4096):
+                            pass
+                    except (BlockingIOError, InterruptedError):
+                        pass
+                    continue
+                i = key.data
+                if events & selectors.EVENT_READ:
+                    self._on_readable(i)
+                if events & selectors.EVENT_WRITE \
+                        and self.slots[i].conn is not None:
+                    self._flush_writes(i)
+            # register newly accepted connections (selector thread only)
+            while True:
+                try:
+                    i, conn = self._newconns.get_nowait()
+                except queue.Empty:
+                    break
+                conn.setblocking(False)
+                self.slots[i].conn = conn
+                self.slots[i].last_rx = time.monotonic()
+                self.sel.register(conn, selectors.EVENT_READ, i)
+            # fresh reply bytes queued by the coordinator
+            with self.lock:
+                flags, self._write_flags = self._write_flags, set()
+            for i in flags:
+                if self.slots[i].conn is not None:
+                    self._flush_writes(i)
+            # recv timeouts (coarse)
+            if self.timeout:
+                now = time.monotonic()
+                for i, s in enumerate(self.slots):
+                    if s.conn is not None and not s.dead \
+                            and now - s.last_rx > self.timeout:
+                        self._fail_conn(i)
+        # shutdown or coordinator failure: drop every live connection
+        for i, s in enumerate(self.slots):
+            if s.conn is not None:
+                try:
+                    self.sel.unregister(s.conn)
+                except (KeyError, ValueError):
+                    pass
+                try:
+                    s.conn.close()
+                except OSError:
+                    pass
+        self.sel.close()
+
+    def submit(self, conn):
+        """Accept thread: claim a free slot (blocking) and hand the
+        connection to the selector."""
+        with self.cond:
+            self.cond.wait_for(
+                lambda: any(s.conn is None and not s.need_recycle
+                            for s in self.slots)
+                or self.failed is not None)
+            self._check_failed()
+            i = next(i for i, s in enumerate(self.slots)
+                     if s.conn is None and not s.need_recycle)
+            self.slots[i].__init__()
+            self.slots[i].conn = True  # reserved; selector sets the socket
+        self._newconns.put((i, conn))
+        self._wake_selector()
+        return i
+
+    def wait_all_closed(self, timeout=60.0):
+        with self.cond:
+            self.cond.wait_for(
+                lambda: all(s.conn is None for s in self.slots)
+                or self.failed is not None,
+                timeout=timeout)
+
+    def shutdown(self):
+        with self.cond:
+            self.stop = True
+            self.cond.notify_all()
+        self._wake_selector()
+        try:
+            self._wake_w.close()
+        except OSError:
+            pass
+
+
+def serve_multi_selector(srv, multi, max_connections=0,
+                         max_chunk=MAX_CHUNK_SAMPLES, timeout=RECV_TIMEOUT_S,
+                         verbose=True, gather_s=None):
+    """Accept loop for the event-loop server: 3 threads total (accept +
+    selector + coordinator) regardless of stream count, versus the thread
+    server's 1 + S."""
+    server = SelectorStreamServer(multi, max_chunk=max_chunk,
+                                  timeout=timeout, gather_s=gather_s)
+    coord = threading.Thread(target=server.coordinator, daemon=True)
+    selth = threading.Thread(target=server.selector_loop, daemon=True)
+    coord.start()
+    selth.start()
+    served = 0
+    try:
+        while max_connections == 0 or served < max_connections:
+            conn, addr = srv.accept()
+            try:
+                server.submit(conn)
+            except ConnectionError as e:
+                if verbose:
+                    print(f"connection {addr}: {e}", flush=True)
+                conn.close()
+                break
+            served += 1
+        server.wait_all_closed(timeout=timeout or 60)
+    finally:
+        server.shutdown()
+        selth.join(timeout=10)
+        coord.join(timeout=10)
+        if server.failed is not None:
+            raise ConnectionError(
+                f"server coordinator failed: {server.failed!r}")
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-c", "--config", required=True, help="model YAML")
@@ -370,6 +836,10 @@ def main():
     parser.add_argument("--streams", type=int, default=0,
                         help="serve up to N clients concurrently through "
                         "one batched MultiStreamEnhancer (0 = sequential)")
+    parser.add_argument("--reader-threads", action="store_true",
+                        help="use the thread-per-connection coordinator "
+                        "instead of the default event-loop server "
+                        "(3 threads total; see SelectorStreamServer)")
     args = parser.parse_args()
 
     from drnmf_tpu import MultiStreamEnhancer, StreamingEnhancer
@@ -417,7 +887,8 @@ def main():
             multi.flush_stream(0, tail=np.zeros(multi.hop, np.float32))
             for i in range(1, args.streams):
                 multi.reset_stream(i)
-            serve_multi(srv, multi, max_connections=args.max_connections)
+            run = serve_multi if args.reader_threads else serve_multi_selector
+            run(srv, multi, max_connections=args.max_connections)
         else:
             served = 0
             while args.max_connections == 0 or served < args.max_connections:

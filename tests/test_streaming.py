@@ -556,3 +556,251 @@ def test_serve_multi_coordinator_failure_fails_fast():
         th.join(timeout=15)
         srv.close()
         assert not th.is_alive(), "serve_multi accept loop did not exit"
+
+
+# ---------------------------------------------------------------------------
+# round-4 event-loop server (scripts/serve.py SelectorStreamServer)
+# ---------------------------------------------------------------------------
+
+def _serve_stub_selector(multi, n_conn, timeout=30.0):
+    import socket
+    import threading
+
+    serve = _import_serve()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(n_conn)
+    err = []
+
+    def run():
+        try:
+            serve.serve_multi_selector(
+                srv, multi, max_connections=n_conn, timeout=timeout,
+                verbose=False)
+        except Exception as e:
+            err.append(e)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    return srv, srv.getsockname()[1], th, err
+
+
+def test_serve_selector_concurrent_clients_match_offline(rng, small_model):
+    """Event-loop server (3 threads total): concurrent clients each get
+    exactly the offline pipeline's output -- same contract as the
+    thread-per-reader server, different host architecture."""
+    import socket
+    import struct
+    import threading
+
+    serve = _import_serve()
+    from drnmf_tpu.streaming import MultiStreamEnhancer
+
+    params, config = small_model
+    n_fft, hop, block = 64, 16, 4
+    n_clients = 3
+    sigs = [(rng.standard_normal(n) * 0.2).astype(np.float32)
+            for n in (2500, 1200, 3100)]
+    chunks = [600, 257, 911]
+
+    multi = MultiStreamEnhancer(params, config, n_clients, n_fft=n_fft,
+                                hop=hop, block_frames=block)
+    srv, port, th, srv_err = _serve_stub_selector(multi, n_clients,
+                                                  timeout=60.0)
+    results, errs = [None] * n_clients, []
+
+    def client(c):
+        try:
+            sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+            outs = []
+
+            def recv_reply():
+                (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+                return np.frombuffer(serve._recv_exact(sock, 4 * m),
+                                     dtype="<f4")
+
+            x = sigs[c]
+            for i in range(0, len(x), chunks[c]):
+                part = np.asarray(x[i : i + chunks[c]], np.float32)
+                sock.sendall(struct.pack("<i", part.size) + part.tobytes())
+                outs.append(recv_reply())
+            sock.sendall(struct.pack("<i", 0))
+            outs.append(recv_reply())
+            sock.close()
+            results[c] = np.concatenate(outs)
+        except Exception as e:
+            errs.append((c, e))
+
+    cths = [threading.Thread(target=client, args=(c,))
+            for c in range(n_clients)]
+    for t in cths:
+        t.start()
+    for t in cths:
+        t.join(timeout=120)
+    th.join(timeout=120)
+    assert not errs, errs
+    assert not srv_err, srv_err
+    for c in range(n_clients):
+        offline = offline_enhance(params, config, sigs[c], n_fft, hop)
+        got = results[c]
+        assert got is not None and len(got) >= len(offline), c
+        np.testing.assert_allclose(got[: len(offline)], offline,
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"client {c}")
+
+
+def test_serve_selector_reply_carries_block_output():
+    """Event-loop server: each full-block chunk's reply contains THAT
+    block's samples while a chatty sub-block client races the
+    coordinator (the wakeup-race guarantee carries over)."""
+    import socket
+    import struct
+    import threading
+
+    serve = _import_serve()
+
+    blk = 64
+    multi = _StubMulti(2, blk, step_delay=0.02)
+    srv, port, th, srv_err = _serve_stub_selector(multi, 2)
+
+    stop = threading.Event()
+
+    def chatty():
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        part = np.zeros(3, np.float32)
+        while not stop.is_set():
+            sock.sendall(struct.pack("<i", part.size) + part.tobytes())
+            (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+            serve._recv_exact(sock, 4 * m)
+        sock.sendall(struct.pack("<i", 0))
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        serve._recv_exact(sock, 4 * m)
+        sock.close()
+
+    cth = threading.Thread(target=chatty, daemon=True)
+    cth.start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        for k in range(20):
+            x = np.full(blk, float(k), np.float32)
+            sock.sendall(struct.pack("<i", x.size) + x.tobytes())
+            (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+            out = np.frombuffer(serve._recv_exact(sock, 4 * m), dtype="<f4")
+            assert m == blk, f"chunk {k}: reply had {m} samples"
+            offset = out[0] - float(k)
+            assert offset in (1000.0, 2000.0), f"chunk {k}: offset {offset}"
+            np.testing.assert_array_equal(out, x + offset)
+        sock.sendall(struct.pack("<i", 0))
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        serve._recv_exact(sock, 4 * m)
+        sock.close()
+    finally:
+        stop.set()
+        cth.join(timeout=10)
+        th.join(timeout=10)
+        srv.close()
+    assert not srv_err, srv_err
+
+
+def test_serve_selector_pipelined_sender():
+    """A client that sends several chunks before reading ANY reply gets
+    the same per-chunk replies as a request-reply client: the selector
+    commits inbox chunks strictly one owed reply at a time, mirroring
+    the sequential reader's recv -> wait -> reply order."""
+    import socket
+    import struct
+
+    serve = _import_serve()
+
+    blk = 32
+    multi = _StubMulti(1, blk)
+    srv, port, th, srv_err = _serve_stub_selector(multi, 1)
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        n_chunks = 8
+        for k in range(n_chunks):  # pipelined: no reads in between
+            x = np.full(blk, float(k), np.float32)
+            sock.sendall(struct.pack("<i", x.size) + x.tobytes())
+        for k in range(n_chunks):
+            (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+            out = np.frombuffer(serve._recv_exact(sock, 4 * m), dtype="<f4")
+            assert m == blk, f"chunk {k}: reply had {m} samples"
+            np.testing.assert_array_equal(out, np.full(blk, float(k)) + 1000.0)
+        sock.sendall(struct.pack("<i", 0))
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        serve._recv_exact(sock, 4 * m)
+        sock.close()
+    finally:
+        th.join(timeout=10)
+        srv.close()
+    assert not srv_err, srv_err
+
+
+def test_serve_selector_coordinator_failure_fails_fast():
+    """A device error inside the event-loop coordinator fails connected
+    clients promptly (selector drops every live socket) and the accept
+    loop exits."""
+    import socket
+    import struct
+
+    serve = _import_serve()
+
+    blk = 32
+    multi = _StubMulti(1, blk, fail_after=2)
+    srv, port, th, srv_err = _serve_stub_selector(multi, 1, timeout=10.0)
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        sock.settimeout(20.0)
+        x = np.zeros(blk, np.float32)
+        failed = False
+        for k in range(6):
+            try:
+                sock.sendall(struct.pack("<i", x.size) + x.tobytes())
+                (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+                serve._recv_exact(sock, 4 * m)
+            except (ConnectionError, socket.timeout, struct.error):
+                failed = True
+                break
+        assert failed, "client was never disconnected after coordinator death"
+    finally:
+        th.join(timeout=15)
+        srv.close()
+        assert not th.is_alive(), "selector accept loop did not exit"
+    assert srv_err and "coordinator failed" in str(srv_err[0])
+
+
+def test_serve_selector_slot_reuse():
+    """More connections than streams: slots are recycled across
+    sequential connections (flush path) and after an abrupt disconnect
+    (recycle path)."""
+    import socket
+    import struct
+
+    serve = _import_serve()
+
+    blk = 16
+    multi = _StubMulti(1, blk)
+    srv, port, th, srv_err = _serve_stub_selector(multi, 3)
+    try:
+        # connection 1: clean flush
+        for _ in range(2):
+            sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+            x = np.ones(blk, np.float32)
+            sock.sendall(struct.pack("<i", x.size) + x.tobytes())
+            (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+            out = np.frombuffer(serve._recv_exact(sock, 4 * m), dtype="<f4")
+            np.testing.assert_array_equal(out, x + 1000.0)
+            sock.sendall(struct.pack("<i", 0))
+            (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+            serve._recv_exact(sock, 4 * m)
+            sock.close()
+        # connection 3: abrupt disconnect mid-stream, slot must recycle
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        sock.sendall(struct.pack("<i", 8) + np.zeros(8, np.float32).tobytes())
+        sock.close()
+    finally:
+        th.join(timeout=15)
+        srv.close()
+    assert not srv_err, srv_err
