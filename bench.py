@@ -606,6 +606,119 @@ def _bench_serve_tcp_one(S, block, paced=False, use_threads=False):
     }), flush=True)
 
 
+def bench_profile_train(bsz=32, maxlen=500, n_iter=20):
+    """Stage attribution of the parity-schedule training step (VERDICT r3
+    next #5: 'nobody knows if another 20-30% is on the table').  Times
+    each component as its OWN jitted program at the parity schedule
+    (B=32, T=500, flagship model): dispatch floor, the scan chain, the
+    full forward (scan + heads + mask), the loss, value_and_grad, the
+    Adam update, and the fused train step -- plus a T-scaling probe that
+    splits the scan into per-step cost vs fixed overhead.  Derived rows:
+    heads = forward - scan, backward = grad - loss, opt+fuse = step -
+    grad - adam.  All numbers are wall of a blocking device round trip,
+    so components add up to more than the fused step when XLA overlaps
+    them -- the table bounds each stage's share, it does not pretend the
+    stages serialize."""
+    import jax
+    import jax.numpy as jnp
+
+    from drnmf_tpu.models import drnmf_apply, drnmf_trainable_mask
+    from drnmf_tpu.models.drnmf import _scan_hidden, step_mask_from_input
+    from drnmf_tpu.train import (TrainConfig, make_optimizer,
+                                 masked_mse_signal_approx)
+    from drnmf_tpu.train.loop import make_train_step
+
+    config, params = _flagship()
+    f_dim = config.input_dim
+    key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    x = jax.random.uniform(kx, (bsz, maxlen, f_dim), jnp.float32, 0.0, 2.0)
+    y = jax.random.uniform(ky, (bsz, maxlen, f_dim), jnp.float32, 0.0, 1.0)
+    mask = jnp.ones((bsz, maxlen), jnp.float32)
+    sm = step_mask_from_input(x, config.mask_value)
+
+    def loss_fn(p, x, y, mask):
+        irm = drnmf_apply(p, config, x)
+        return masked_mse_signal_approx(irm, x, y, mask)
+
+    opt = make_optimizer(TrainConfig(learning_rate=1e-3),
+                         drnmf_trainable_mask(config, params))
+    opt_state = opt.init(params)
+    step = make_train_step(loss_fn, opt)
+
+    def timeit(fn, *args, n=n_iter):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1e3  # ms
+
+    tiny = jnp.zeros(8, jnp.float32)
+    prof = {}
+    prof["dispatch_floor_ms"] = timeit(jax.jit(lambda a: a + 1.0), tiny,
+                                       n=50)
+    scan_j = jax.jit(lambda p, xx, s: _scan_hidden(p, config, xx, s))
+    prof["scan_ms"] = timeit(scan_j, params, x, sm)
+    fwd_j = jax.jit(lambda p, xx: drnmf_apply(p, config, xx))
+    prof["forward_ms"] = timeit(fwd_j, params, x)
+    loss_j = jax.jit(loss_fn)
+    prof["loss_ms"] = timeit(loss_j, params, x, y, mask)
+    grad_j = jax.jit(jax.value_and_grad(loss_fn))
+    prof["grad_ms"] = timeit(grad_j, params, x, y, mask)
+    _, g0 = grad_j(params, x, y, mask)
+
+    def adam_only(g, p, s):
+        upd, s2 = opt.update(g, s, p)
+        import optax
+
+        return optax.apply_updates(p, upd), s2
+
+    prof["adam_ms"] = timeit(jax.jit(adam_only), g0, params, opt_state)
+
+    # full fused step, steady-state chained updates (the step donates its
+    # params/opt_state buffers, so time a chain on fresh copies)
+    p_c = {k: jnp.array(np.asarray(v), copy=True) for k, v in params.items()}
+    s_c = opt.init(p_c)
+    p_c, s_c, l = step(p_c, s_c, x, y, mask)
+    jax.block_until_ready(l)
+    n = n_iter
+    t0 = time.perf_counter()
+    for _ in range(n):
+        p_c, s_c, l = step(p_c, s_c, x, y, mask)
+    jax.block_until_ready(l)
+    prof["train_step_ms"] = (time.perf_counter() - t0) / n * 1e3
+
+    # T-scaling probe: scan wall at T/4 separates per-step cost from
+    # fixed overhead (dispatch + prologue)
+    tq = maxlen // 4
+    xq, smq = x[:, :tq], sm[:, :tq]
+    prof["scan_Tquarter_ms"] = timeit(scan_j, params, xq, smq)
+    per_step_us = ((prof["scan_ms"] - prof["scan_Tquarter_ms"])
+                   / (maxlen - tq) * 1e3)
+    prof["scan_per_timestep_us"] = round(per_step_us, 2)
+    prof["scan_fixed_ms"] = round(
+        prof["scan_Tquarter_ms"] - tq * per_step_us / 1e3, 3)
+
+    prof = {k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in prof.items()}
+    derived = {
+        "heads_mask_ms": round(prof["forward_ms"] - prof["scan_ms"], 3),
+        "loss_term_ms": round(prof["loss_ms"] - prof["forward_ms"], 3),
+        "backward_ms": round(prof["grad_ms"] - prof["loss_ms"], 3),
+        "fuse_gain_ms": round(
+            prof["grad_ms"] + prof["adam_ms"] - prof["train_step_ms"], 3),
+    }
+    print(json.dumps({
+        "metric": "train_step_profile",
+        "value": prof["train_step_ms"],
+        "unit": "ms_per_step",
+        **prof, **derived,
+    }), flush=True)
+    return prof
+
+
 def bench_snmf():
     """Sparse NMF dictionary training at the reference's GPU-chunk scale:
     r=1000 (2r=2000 atoms), F=257, one full 140k-frame chunk
@@ -805,3 +918,5 @@ if __name__ == "__main__":
         bench_snmf()
     if "--score" in sys.argv:
         bench_score()
+    if "--profile-train" in sys.argv:
+        bench_profile_train()

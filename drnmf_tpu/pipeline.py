@@ -364,6 +364,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
             clipnorm=float(params_model.get("clipnorm", 0.0)),
             decay=float(params_model.get("decay", 0.0)),
             patience=int(params_model.get("patience", 50)),
+            seed=int(params_model.get("seed", 7654)),
             verbose=verbose,
         )
 
@@ -502,6 +503,7 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
             learning_rate=float(params_model.get("learning_rate", 1e-4)),
             clipnorm=float(params_model.get("clipnorm", 1.0)),
             patience=int(params_model.get("patience", 50)),
+            seed=int(params_model.get("seed", 7654)),
             verbose=verbose,
         )
         best_params, _ = train_model(

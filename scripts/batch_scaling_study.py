@@ -1,25 +1,33 @@
 #!/usr/bin/env python
 """Batch-size scaling study: does the high-throughput regime reach the
-parity schedule's quality? (VERDICT r2 next #8)
+parity schedule's quality? (VERDICT r2 next #8; SEEDED round 4 per
+VERDICT r3 next #4.)
 
-Trains the SAME grid model (DR-NMF K=5, r=100) on the same corpus at the
-reference's parity batch (32, lr 1e-3 -- enhance.py:616-655) and at the
-framework's high-throughput batch (256, lr scaled), then scores both on the
-same eval set.  The framework claims nothing caps batch (RESULTS.md
-throughput table: 4,093 seq/s at B=256 vs 864 at B=32); this study attaches
-a converged-quality data point to that claim.
+Trains the SAME grid model (DR-NMF K=5, r=100) on the same corpus and the
+same SNMF dictionary at the reference's parity batch (32, lr 1e-3 --
+enhance.py:616-655) and at the framework's high-throughput batch (256, lr
+scaled), N seeds per arm (the seed varies ONLY the training shuffle order
+-- dictionary and init are deterministic -- so cross-seed spread is
+exactly the training-stochasticity noise floor the round-3 one-run STOI
+gap must be judged against), then scores every run on the same eval set
+and prints a per-arm mean +- std summary.
 
 Usage:
-    python scripts/batch_scaling_study.py -d /root/grid_r3_big/params_data_big.yaml \\
-        [--epochs 300] [--exp-dir data_setup_bscale]
+    python scripts/batch_scaling_study.py -d params_data.yaml \\
+        [--epochs 300] [--seeds 7654,1234,9999] \\
+        [--arms 32:1e-3,256:3e-3] [--exp-dir data_setup_bscale]
 """
 
 import argparse
+import json
 import os
+import pickle
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
 
 
 def main():
@@ -27,13 +35,24 @@ def main():
     parser.add_argument("-d", "--data-config", required=True)
     parser.add_argument("--epochs", type=int, default=300)
     parser.add_argument("--exp-dir", default="data_setup_bscale")
-    parser.add_argument("--lr256", type=float, default=3e-3,
-                        help="lr for B=256 (~sqrt(8)x the parity 1e-3)")
+    parser.add_argument("--arms", default="32:1e-3,256:3e-3",
+                        help="comma list of batch:lr arms (B=256 default "
+                        "lr is ~sqrt(8)x the parity 1e-3)")
+    parser.add_argument("--seeds", default="7654,1234,9999",
+                        help="comma list of training shuffle seeds per arm")
     parser.add_argument("--no-pesq", action="store_true")
     args = parser.parse_args()
 
-    from drnmf_tpu import cli
-    from drnmf_tpu.utils import config_hash, dump_yaml
+    from drnmf_tpu import pipeline
+    from drnmf_tpu.utils import (config_hash, dump_yaml, enable_compile_cache,
+                                 load_yaml)
+
+    enable_compile_cache()
+    arms = []
+    for spec in args.arms.split(","):
+        b, lr = spec.split(":")
+        arms.append((int(b), float(lr)))
+    seeds = [int(s) for s in args.seeds.split(",")]
 
     base = {
         "K_layers": 5,
@@ -51,24 +70,62 @@ def main():
         "epochs": args.epochs,
         "resume": True,
     }
-    runs = [
-        dict(base, batch_size=32, learning_rate=1e-3),
-        dict(base, batch_size=256, learning_rate=args.lr256),
-    ]
+    params_data = load_yaml(args.data_config)
     os.makedirs(os.path.join(args.exp_dir, "configs"), exist_ok=True)
-    for cfg in runs:
-        h = config_hash(cfg, exclude=("resume",))
-        path = os.path.join(args.exp_dir, "configs",
-                            f"params_unfolded_snmf_{h}.yaml")
-        dump_yaml(cfg, path)
-        print(f"== batch {cfg['batch_size']} lr {cfg['learning_rate']}: {path}")
-        t0 = time.time()
-        argv = ["-c", path, "-d", args.data_config,
-                "--exp-dir", args.exp_dir, "--splits", "valid"]
-        if args.no_pesq:
-            argv.append("--no-pesq")
-        cli.main(argv)
-        print(f"== batch {cfg['batch_size']} wall: {time.time() - t0:.1f}s")
+
+    rows = []  # (batch, lr, seed, val_loss, overall (6,))
+    for bsz, lr in arms:
+        for seed in seeds:
+            cfg = dict(base, batch_size=bsz, learning_rate=lr, seed=seed)
+            h = config_hash(cfg, exclude=("resume",))
+            path = os.path.join(args.exp_dir, "configs",
+                                f"params_unfolded_snmf_{h}.yaml")
+            dump_yaml(cfg, path)
+            print(f"== batch {bsz} lr {lr} seed {seed}: {path}", flush=True)
+            t0 = time.time()
+            _, _, results = pipeline.run_unfolded_snmf(
+                cfg, params_data, args.exp_dir, splits=("valid",),
+                compute_pesq=not args.no_pesq)
+            overall, _ = results["valid"]
+            hist_path = os.path.join(args.exp_dir, "history",
+                                     f"history_unfolded_snmf_{h}")
+            val_loss = float("nan")
+            if os.path.exists(hist_path):
+                with open(hist_path, "rb") as f:
+                    hist = pickle.load(f)
+                val_loss = float(hist["on_epoch_end"]["val_loss"][-1])
+            rows.append((bsz, lr, seed, val_loss, overall.ravel()))
+            print(f"== batch {bsz} seed {seed} wall: "
+                  f"{time.time() - t0:.1f}s  val_loss {val_loss:.5f}  "
+                  f"SDR {overall.ravel()[0]:.3f}  "
+                  f"STOI {overall.ravel()[5]:.3f}", flush=True)
+
+    # per-arm aggregation: mean +- std over seeds
+    labels = ["SDR", "SNR", "SegSNRloc", "SegSNRglo", "PESQ", "STOI"]
+    print("\n== seeded summary (mean +- std over seeds)")
+    summary = []
+    for bsz, lr in arms:
+        sel = np.stack([r[4] for r in rows if r[0] == bsz and r[1] == lr])
+        vls = np.array([r[3] for r in rows if r[0] == bsz and r[1] == lr])
+        entry = {"batch": bsz, "lr": lr, "n_seeds": len(sel),
+                 "val_loss_mean": round(float(np.nanmean(vls)), 5),
+                 "val_loss_std": round(float(np.nanstd(vls)), 5)}
+        for j, lab in enumerate(labels):
+            entry[lab + "_mean"] = round(float(sel[:, j].mean()), 4)
+            entry[lab + "_std"] = round(float(sel[:, j].std()), 4)
+        summary.append(entry)
+        print(json.dumps(entry), flush=True)
+
+    if len(summary) >= 2:
+        a, b = summary[0], summary[1]
+        gap = b["STOI_mean"] - a["STOI_mean"]
+        noise = max(a["STOI_std"], b["STOI_std"])
+        print(json.dumps({
+            "metric": "bscale_stoi_gap",
+            "stoi_gap_arm1_minus_arm0": round(gap, 4),
+            "max_seed_std": round(noise, 4),
+            "systematic": bool(abs(gap) > 2.0 * max(noise, 1e-9)),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -67,3 +67,32 @@ def test_run_default_exits_nonzero_when_enhance_fails(monkeypatch, capsys):
 def test_ensure_backend_returns_devices():
     devs = bench._ensure_backend(budget_s=5)
     assert devs and devs[0].platform == "cpu"  # conftest pins cpu
+
+
+def test_profile_train_stage_attribution(monkeypatch, capsys):
+    """bench --profile-train produces a complete attribution table whose
+    component programs all execute (tiny model on CPU; the numbers only
+    mean something on the chip, the plumbing must not break)."""
+    import numpy as np
+
+    def tiny():
+        import jax
+        from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+
+        config = DRNMFConfig(input_dim=9, r=4, output_dim=9, K_layers=2,
+                             alph=10.0, lam1=0.5)
+        rng = np.random.default_rng(0)
+        w = rng.uniform(0.01, 1.0, (9, 8)).astype(np.float32)
+        w /= np.sqrt(np.sum(w**2, axis=0))
+        return config, jax.device_put(init_drnmf_params(config, w))
+
+    monkeypatch.setattr(bench, "_flagship", tiny)
+    prof = bench.bench_profile_train(bsz=2, maxlen=16, n_iter=2)
+    for k in ("dispatch_floor_ms", "scan_ms", "forward_ms", "loss_ms",
+              "grad_ms", "adam_ms", "train_step_ms",
+              "scan_per_timestep_us"):
+        assert k in prof, k
+    out = capsys.readouterr().out
+    line = json.loads(out.strip().splitlines()[-1])
+    assert line["metric"] == "train_step_profile"
+    assert line["backward_ms"] == round(line["grad_ms"] - line["loss_ms"], 3)
