@@ -77,6 +77,10 @@ def main():
     for bsz, lr in arms:
         for seed in seeds:
             cfg = dict(base, batch_size=bsz, learning_rate=lr, seed=seed)
+            if seed == 7654:
+                # the TrainConfig default: omit the key so the hash (and
+                # artifact cache) matches the round-3 single-seed runs
+                del cfg["seed"]
             h = config_hash(cfg, exclude=("resume",))
             path = os.path.join(args.exp_dir, "configs",
                                 f"params_unfolded_snmf_{h}.yaml")
