@@ -701,6 +701,33 @@ def bench_profile_train(bsz=32, maxlen=500, n_iter=20):
     prof["scan_fixed_ms"] = round(
         prof["scan_Tquarter_ms"] - tq * per_step_us / 1e3, 3)
 
+    # lever: scan unroll -- replicate the step body so XLA amortizes
+    # per-iteration overhead (exact: same math, any T)
+    import dataclasses
+
+    for u in (2, 4, 8):
+        cfg_u = dataclasses.replace(config, scan_unroll=u)
+
+        def loss_u(p, xx, yy, mm, _c=cfg_u):
+            irm = drnmf_apply(p, _c, xx)
+            return masked_mse_signal_approx(irm, xx, yy, mm)
+
+        step_u = make_train_step(loss_u, opt)
+        p_u = {k: jnp.array(np.asarray(v), copy=True)
+               for k, v in params.items()}
+        s_u = opt.init(p_u)
+        p_u, s_u, l = step_u(p_u, s_u, x, y, mask)
+        jax.block_until_ready(l)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            p_u, s_u, l = step_u(p_u, s_u, x, y, mask)
+        jax.block_until_ready(l)
+        prof[f"train_step_unroll{u}_ms"] = (
+            (time.perf_counter() - t0) / n_iter * 1e3)
+        prof[f"scan_unroll{u}_ms"] = timeit(
+            jax.jit(lambda p, xx, s, _c=cfg_u: _scan_hidden(p, _c, xx, s)),
+            params, x, sm)
+
     prof = {k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in prof.items()}
     derived = {
@@ -902,7 +929,8 @@ if __name__ == "__main__":
     _enable_compile_cache()
     _ensure_backend()
     _flags = [a for a in sys.argv[1:] if a.startswith("--")]
-    if not _flags:
+    _full = "--full" in sys.argv  # everything in ONE process (one claim)
+    if not _flags or (_full and "--only-enhance" not in sys.argv):
         _run_default()  # the driver's invocation: the full default suite
     else:
         main()  # flagged runs: headline first, then the requested extras
@@ -910,13 +938,13 @@ if __name__ == "__main__":
         bench_train()
     if "--loop" in sys.argv:
         bench_loop()
-    if "--serve" in sys.argv:
+    if "--profile-train" in sys.argv or _full:
+        bench_profile_train()
+    if "--serve" in sys.argv or _full:
         bench_serving()
-    if "--serve-tcp" in sys.argv:
+    if "--serve-tcp" in sys.argv or _full:
         bench_serve_tcp()
-    if "--snmf" in sys.argv:
+    if "--snmf" in sys.argv or _full:
         bench_snmf()
     if "--score" in sys.argv:
         bench_score()
-    if "--profile-train" in sys.argv:
-        bench_profile_train()

@@ -480,3 +480,36 @@ def test_ensure_fold_valid_detects_unstructured_u(rng):
     bad2 = {k: np.array(v, copy=True) for k, v in params.items()}
     bad2["log_Uk"][1, 1] += 0.3
     assert not fold_structure_holds(bad2)
+
+
+def test_scan_unroll_is_exact(rng):
+    """scan_unroll replicates the lax.scan body (scheduling only): hidden
+    states and gradients are bit-identical at any unroll factor,
+    including T not divisible by it."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+    from drnmf_tpu.models.drnmf import _scan_hidden, step_mask_from_input
+
+    f, r, K = 9, 3, 3
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    config = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=K)
+    params = init_drnmf_params(config, w)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 11, f)).astype(np.float32))
+    sm = step_mask_from_input(x, config.mask_value)
+
+    base = np.asarray(_scan_hidden(params, config, x, sm))
+    g_base = jax.grad(lambda p: jnp.mean(
+        _scan_hidden(p, config, x, sm) ** 2))(params)
+    for u in (2, 4, 8):
+        cfg = dataclasses.replace(config, scan_unroll=u)
+        out = np.asarray(_scan_hidden(params, cfg, x, sm))
+        np.testing.assert_array_equal(out, base, err_msg=f"unroll={u}")
+        g = jax.grad(lambda p: jnp.mean(
+            _scan_hidden(p, cfg, x, sm) ** 2))(params)
+        for k in g_base:
+            np.testing.assert_allclose(
+                np.asarray(g[k]), np.asarray(g_base[k]), rtol=1e-6,
+                atol=1e-7, err_msg=f"unroll={u} grad {k}")
