@@ -868,3 +868,20 @@ def test_pesq_reverberation_anchor_family(rng):
         return pesq_16k(x, x + w)
     assert mos_reverb[0] > at_snr(5) + 0.3    # light reverb >> 5 dB noise
     assert at_snr(30) > mos_reverb[-1] + 0.3  # 30 dB noise >> heavy reverb
+
+
+def test_align_degenerate_inputs(rng):
+    """Silence, near-empty, and constant signals produce a zero-delay,
+    zero-confidence estimate instead of crashing or a spurious peak."""
+    from drnmf_tpu.metrics.align import (align_pair, estimate_delay,
+                                         split_utterances)
+
+    z = np.zeros(4000, np.float32)
+    s = _speechlike(rng, 4000)
+    assert estimate_delay(z, z, 16000) == (0, 0.0, 0.0)
+    assert estimate_delay(z, s, 16000).d == 0
+    assert estimate_delay(s[:50], s[:50], 16000) == (0, 0.0, 0.0)  # < 2 frames
+    assert split_utterances(z, 16000) == [(0, len(z))]
+    assert split_utterances(np.zeros(10, np.float32), 16000) == [(0, 10)]
+    utts, delays, g = align_pair(z, z, 16000)
+    assert delays == [0]
