@@ -3,8 +3,13 @@
 Completes the parallelism matrix (dp / tp / sp / 2-D dp x tp / FSDP /
 **pp**) for the one axis the others leave alone: the K unfolded ISTA
 layers themselves (SimpleDeepRNN stacking, custom_layers.py:104-412 --
-the reference ran all layers on one GPU).  Device p COMPUTES only layer
-p; activations hand forward over ICI with ``ppermute``.
+the reference ran all layers on one GPU).  Device p OWNS layer p: the
+stacked per-layer factors enter the pipeline body sharded over 'pp'
+(``in_specs`` P('pp') on the layer axis), so each device holds exactly
+its own layer's (F, 2r) dictionary factors and bias -- the only
+parallel axis that divides the weight working set by depth K rather
+than by hidden width or batch -- and COMPUTES only that layer;
+activations hand forward over ICI with ``ppermute``.
 
 The cross-time feedback (layer K-1's masked-held state at t-1 feeds every
 layer's U term at t, enhance.py:162-204) makes this a RING pipeline: a
@@ -17,16 +22,6 @@ through its layer: T*G + P - 1 waves, per-device compute 1/P of the
 single-device scan.  Exact: the schedule only reorders where layer
 applications run, not the math (parity with ``_scan_hidden`` is pinned
 bitwise-level by test).
-
-What pp shards is COMPUTE, not weight residency: params ride in
-replicated (``in_specs=P()``) and every device materializes the stacked
-per-layer factors, selecting its own layer's slice by ``axis_index`` --
-so per-device HBM for weights is unchanged versus the single-device
-scan.  (True per-layer residency would shard the stacks over 'pp' in
-``in_specs``; at this model family's weight scale -- K x (F, 2r) ~ 2 MB
-per layer -- there is nothing to win, so the simpler replicated layout
-is kept.)  What pp uniquely divides is the per-device *matmul work* of
-the depth axis, 1/K of the layer applications per device.
 """
 
 from functools import partial
@@ -77,54 +72,70 @@ def drnmf_scan_layer_pipelined(params, config, x, step_mask, mesh,
     act = _ACTIVATIONS[config.activation]
     prec = _precision(config)
 
-    def local(params_loc, x_full, m_full):
-        U, S, W, b = _effective_matrices(params_loc, config,
+    def stacks(params):
+        """Per-layer weight stacks (leading axis = layer, sharded over
+        'pp') + replicated small state.  Layer 0 has no S: its slot in
+        the S stacks is zeros, never selected (device 0 takes the kk==0
+        branch)."""
+        U, S, W, b = _effective_matrices(params, config,
                                          fold_u=True, factor_s=True)
         if config.nonnegative:
-            h0 = jax.nn.softplus(params_loc["log_h0"])
+            h0 = jax.nn.softplus(params["log_h0"])
         else:
-            h0 = params_loc["h0"]
-        p = jax.lax.axis_index(axis_name)
+            h0 = params["h0"]
         folded = isinstance(U, FoldedU)
         factored = bool(S) and isinstance(S[0], tuple)
+        wts = {"w": jnp.stack(W), "b": jnp.stack(b), "h0": h0}
+        specs = {"w": P(axis_name), "b": P(axis_name), "h0": P()}
+        if factored:
+            z = jnp.zeros_like(S[0][0])
+            wts["dk"] = jnp.stack([z] + [s[0] for s in S])
+            wts["dka"] = jnp.stack([z] + [s[1] for s in S])
+            specs["dk"] = specs["dka"] = P(axis_name)
+        elif S:
+            z = jnp.zeros_like(S[0])
+            wts["s"] = jnp.stack([z] + list(S))
+            specs["s"] = P(axis_name)
+        if folded:
+            wts["u_diag1"], wts["u_off1"], wts["u_c"] = (
+                U.diag1, U.off1, U.c)
+            specs["u_diag1"] = specs["u_off1"] = specs["u_c"] = P()
+        else:
+            # device p needs only U[min(p, 1)]: stack per layer and shard
+            # (16 MB per device at 2r=2000 instead of 2x16 MB replicated)
+            wts["u"] = jnp.stack([U[min(k, 1)] for k in range(K)])
+            specs["u"] = P(axis_name)
+        return wts, specs, folded, factored
+
+    def local(wts, x_full, m_full):
+        p = jax.lax.axis_index(axis_name)
         dot = partial(jnp.dot, precision=prec,
                       preferred_element_type=jnp.float32)
-
-        # stack per-layer weights so the (traced) device index selects its
-        # own layer; each device reads one (F, 2r) slice per wave
-        w_stack = jnp.stack(W)  # (K, F, 2r)
-        b_stack = jnp.stack(b)  # (K, 2r)
-        if factored:
-            dk_stack = jnp.stack([s[0] for s in S])   # (K-1, F, 2r)
-            dka_stack = jnp.stack([s[1] for s in S])  # (K-1, F, 2r)
-        elif S:
-            s_stack = jnp.stack(S)  # (K-1, 2r, 2r), rows-of-S layout
-        if not folded:
-            # U = [U1^T] + [Uk^T]*(K-1): store the two distinct matrices,
-            # not K copies (at 2r=2000 each is 16 MB)
-            u_stack = jnp.stack([U[0], U[1] if K > 1 else U[0]])
+        # this device's layer: every stacked entry arrives as (1, ...)
+        w_p = wts["w"][0]   # (F, 2r)
+        b_p = wts["b"][0]   # (2r,)
+        h0 = wts["h0"]
 
         def layer_apply(kk, h_prev, hidden, x_t):
-            """One layer's pre-activation + activation for its wave tuple.
-            ``h_prev``: layer K-1's held state at t-1 (U term source);
-            ``hidden``: layer kk-1's output at t (garbage when kk == 0 --
-            the where() discards that branch)."""
+            """This device's layer: pre-activation + activation for its
+            wave tuple.  ``h_prev``: layer K-1's held state at t-1 (U term
+            source); ``hidden``: layer kk-1's output at t (garbage when
+            kk == 0 -- the where() discards that branch)."""
             if folded:
                 rs = jnp.sum(h_prev, axis=-1, keepdims=True)
-                t1 = h_prev * (U.diag1 - U.off1) + U.off1 * rs
+                t1 = h_prev * (wts["u_diag1"] - wts["u_off1"]) \
+                    + wts["u_off1"] * rs
                 u_k = jnp.where(kk == 0, t1,
-                                jnp.broadcast_to(U.c * rs, t1.shape))
+                                jnp.broadcast_to(wts["u_c"] * rs, t1.shape))
             else:
-                u_k = dot(h_prev, u_stack[jnp.minimum(kk, 1)])
-            pre0 = u_k + dot(x_t, w_stack[0])
-            km1 = jnp.maximum(kk - 1, 0)
+                u_k = dot(h_prev, wts["u"][0])
+            pre0 = u_k + dot(x_t, w_p)
             if factored:
-                dk, dka = dk_stack[km1], dka_stack[km1]
+                dk, dka = wts["dk"][0], wts["dka"][0]
                 prek = u_k + hidden + dot(x_t - dot(hidden, dk.T), dka)
             else:
-                prek = (u_k + dot(hidden, s_stack[km1])
-                        + dot(x_t, w_stack[kk]))
-            return act(jnp.where(kk == 0, pre0, prek) + b_stack[kk])
+                prek = u_k + dot(hidden, wts["s"][0]) + dot(x_t, w_p)
+            return act(jnp.where(kk == 0, pre0, prek) + b_p)
 
         n_waves = t_total * n_groups + n_pp - 1
         ring = [(i, (i + 1) % n_pp) for i in range(n_pp)]
@@ -167,11 +178,19 @@ def drnmf_scan_layer_pipelined(params, config, x, step_mask, mesh,
                  tuple(d.id for d in mesh.devices.flat))
     fn = _COMPILED.get(cache_key)
     if fn is None:
-        shard = jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P(), P(), P()),  # everything replicated; layer
-            out_specs=P(),             # placement varies via axis_index
-        )
-        fn = jax.jit(shard)
+        # evaluate once to learn the (config/params-structure-determined)
+        # stack specs and the folded/factored trace statics
+        _, specs, folded, factored = stacks(params)
+
+        def run(params, x_full, m_full):
+            wts, _, _, _ = stacks(params)
+            shard = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(specs, P(), P()),  # per-layer weights over 'pp'
+                out_specs=P(),
+            )
+            return shard(wts, x_full, m_full)
+
+        fn = jax.jit(run)
         _COMPILED.put(cache_key, fn)
     return fn(params, jnp.asarray(x), jnp.asarray(step_mask))
