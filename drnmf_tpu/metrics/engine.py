@@ -264,8 +264,21 @@ def score_all_packed(est_list, ref_list, fs: int = 16000,
             else:
                 piecewise[i] = (utts, uds)
     else:
+        # guard tier: the bucket program's +-MAX_LAG estimate DETECTS the
+        # shift; the unbounded host estimator then refines it (the bounded
+        # full-rate cross-correlation of a periodic carrier can alias to a
+        # pitch-period lag; the envelope coarse stage disambiguates).
+        # Aligned pairs never reach this loop, so the zero-host-cost
+        # property of the guard tier is preserved.
+        from .align import estimate_delay
+
         for i in np.nonzero(delays != 0)[0]:
-            const_d[int(i)] = int(delays[i])
+            n = int(lens[i])
+            de = estimate_delay(as_f32(est_list[i], n),
+                                as_f32(ref_list[i], n), fs)
+            delays[i] = int(de.d)
+            if de.d != 0:
+                const_d[int(i)] = int(de.d)
 
     min_keep = max(flen, frame_len)
     for i in [k for k, d in const_d.items()

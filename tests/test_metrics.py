@@ -885,3 +885,20 @@ def test_align_degenerate_inputs(rng):
     assert split_utterances(np.zeros(10, np.float32), 16000) == [(0, 10)]
     utts, delays, g = align_pair(z, z, 16000)
     assert delays == [0]
+
+
+def test_engine_guard_refines_aliased_delay(rng):
+    """Guard tier: the bounded device estimate of a shifted PERIODIC
+    carrier aliases to a pitch-period lag (observed: 533 for a true 800
+    -- 3 x the 180 Hz period); the unbounded host refinement recovers the
+    true shift before compensation."""
+    from drnmf_tpu.metrics.engine import score_all_packed
+
+    ref = _gappy_speech(rng, n_utts=1, utt=20000)
+    est = _noisy_active(rng, ref)
+    d = 800
+    S, delays = score_all_packed([_shift(est, d)], [ref], 16000,
+                                 align="guard")
+    assert delays[0] == d, delays
+    S0, _ = score_all_packed([est], [ref], 16000, align="off")
+    np.testing.assert_allclose(S[0], S0[0], rtol=0.05, atol=0.25)
