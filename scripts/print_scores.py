@@ -104,11 +104,27 @@ def model_rows(folder_exp, splits=("valid", "test")):
     return rows
 
 
+def num_train_files(data_cfg):
+    """Training files actually used: taskfile length under the downsample
+    stride (reference print_scores.py:34's num_train column -- the 10%%-
+    vs-100%%-data conditions differ exactly here)."""
+    tf = data_cfg.get("taskfile_x_train")
+    ds = int(data_cfg.get("downsample", 1))
+    if tf and os.path.isfile(tf):
+        with open(tf) as f:
+            n = sum(1 for line in f if line.strip())
+        return len(range(0, n, ds))
+    return None
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("folder_exp")
     parser.add_argument("--latex", action="store_true")
     parser.add_argument("--splits", default="valid,test")
+    parser.add_argument("--data-config", default=None,
+                        help="params_data.yaml for the num_train column "
+                        "(default: <folder_exp>/params_data.yaml if present)")
     parser.add_argument("--per-snr", action="store_true",
                         help="add mean-SDR-per-SNR-condition columns "
                         "(reference print_scores.py:93-100)")
@@ -118,6 +134,13 @@ def main():
     rows = model_rows(args.folder_exp, splits)
     if not rows:
         sys.exit(f"no configs found under {args.folder_exp}/configs")
+
+    data_cfg_path = args.data_config or os.path.join(
+        args.folder_exp, "params_data.yaml")
+    n_train = None
+    if os.path.isfile(data_cfg_path):
+        with open(data_cfg_path) as f:
+            n_train = num_train_files(yaml.safe_load(f))
 
     def fmt(v, spec=".3f"):
         return format(v, spec) if isinstance(v, float) else str(v)
@@ -158,7 +181,9 @@ def main():
         print(latex_table(table_rows, labels))
         return
 
-    hdr = (f"{'model':<16} {'K':>2} {'N':>5} {'params':>9} {'val_loss':>10} "
+    nt_col = f" {'num_train':>9}" if n_train is not None else ""
+    hdr = (f"{'model':<16} {'K':>2} {'N':>5} {'params':>9}{nt_col} "
+           f"{'val_loss':>10} "
            + " ".join(f"{'SDR ' + s:>10}" for s in splits))
     print(hdr)
     print("-" * len(hdr))
@@ -168,8 +193,9 @@ def main():
             f"{fmt(r[f'sdr_{s}'], '.2f') if r[f'sdr_{s}'] is not None else '-':>10}"
             for s in splits
         )
-        print(f"{r['model']:<16} {r['K']:>2} {r['N']:>5} {r['params']:>9} "
-              f"{vl:>10} {sdr_cols}")
+        nt = f" {n_train:>9}" if n_train is not None else ""
+        print(f"{r['model']:<16} {r['K']:>2} {r['N']:>5} {r['params']:>9}"
+              f"{nt} {vl:>10} {sdr_cols}")
 
 
 if __name__ == "__main__":
