@@ -923,6 +923,7 @@ def _run_default():
     print(json.dumps(line), flush=True)
     if "enhance" in failures:
         sys.exit(1)
+    return line
 
 
 if __name__ == "__main__":
@@ -930,8 +931,9 @@ if __name__ == "__main__":
     _ensure_backend()
     _flags = [a for a in sys.argv[1:] if a.startswith("--")]
     _full = "--full" in sys.argv  # everything in ONE process (one claim)
+    _headline = None
     if not _flags or (_full and "--only-enhance" not in sys.argv):
-        _run_default()  # the driver's invocation: the full default suite
+        _headline = _run_default()  # the driver's full default suite
     else:
         main()  # flagged runs: headline first, then the requested extras
     if "--train" in sys.argv:
@@ -942,9 +944,14 @@ if __name__ == "__main__":
         bench_profile_train()
     if "--serve" in sys.argv or _full:
         bench_serving()
-    if "--serve-tcp" in sys.argv or _full:
+    if ("--serve-tcp" in sys.argv or "--serve-tcp-threads" in sys.argv
+            or _full):
         bench_serve_tcp()
     if "--snmf" in sys.argv or _full:
         bench_snmf()
     if "--score" in sys.argv:
         bench_score()
+    if _headline is not None and _full:
+        # the tail parser reads the LAST JSON line: re-print the headline
+        # after the extra stages
+        print(json.dumps(_headline), flush=True)

@@ -1,13 +1,18 @@
 """P.862-style time alignment for arbitrary wav pairs (host pre-pass).
 
-The reference's scoring stack time-aligned estimate/reference pairs
-before scoring (score_audio.m:225 calls Loizou's ``pesq_16kHz``, which
-implements ITU-T P.862 §8: envelope-based coarse alignment at 4 ms
+What the reference did, stated precisely: its PESQ stage aligned
+internally -- score_audio.m:225 calls Loizou's ``pesq_16kHz``, which
+implements ITU-T P.862 §8 (envelope-based coarse alignment at 4 ms
 granularity, utterance splitting on the reference, per-utterance coarse
-+ fine delay).  The in-repo mask pipeline produces sample-aligned pairs
-by construction, but the standalone scorer (scripts/score_audio.py) must
-handle shifted, drifting, or piecewise-delayed pairs the way the MATLAB
-stack did.
++ fine delay) -- while SDR/SNR/SegSNR/STOI were computed on the RAW pair
+truncated to the common length (score_audio.m:186-238), so only PESQ was
+robust to a shifted estimate there.  This module reimplements the P.862
+§8 alignment structure once, host-side, and the scorer applies it to ALL
+SIX metrics -- a deliberate extension beyond the reference (a shifted
+pair's SNR/SegSNR/STOI are meaningless, and the reference corpus never
+shipped shifted pairs): opt-out via ``--no-align`` in
+scripts/score_audio.py, and the in-repo mask pipeline (sample-aligned by
+construction) keeps the detection-only guard tier.
 
 This module is the HOST side: cheap O(n log n) numpy estimators that run
 before the packed device engine, so every pair -- aligned or not --

@@ -17,8 +17,11 @@ packed transfer was 1.2 s of a 1.7 s pass) and collapsing to one program
 + one fetch per bucket (device compute is sub-millisecond; each result
 fetch is a blocking tunnel round trip).
 
-Time alignment (score_audio.m:177-238 handled arbitrary wav pairs; ITU-T
-P.862 §8 time-aligns before scoring), two tiers:
+Time alignment (the reference aligned INSIDE its PESQ stage only --
+score_audio.m:225 via pesq_16kHz's P.862 §8 machinery; its other metrics
+scored the raw truncated pair, score_audio.m:186-238.  Here the same
+§8-style alignment protects all six metrics -- a documented extension,
+see align.py), two tiers:
 
 - ``align="guard"`` (default -- the in-repo mask pipeline is
   sample-aligned by construction): the bucket program's own delay

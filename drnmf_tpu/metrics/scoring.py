@@ -36,6 +36,36 @@ from .pesq import pesq_16k
 SCORE_LABELS = ["SDR", "SNR", "SegSNR local", "SegSNR global", "PESQ", "STOI"]
 
 
+def _apply_alignment(xest, xref, fs, align):
+    """Pre-align one pair for the per-file scoring paths (the packed
+    engine compensates on device; these paths compensate on the host with
+    the same estimators so align semantics do not depend on which path a
+    corpus takes).  'guard': constant compensation when the unbounded
+    host estimate is nonzero; 'full': P.862-style per-utterance
+    alignment; 'off': as given.  Estimates that leave <512 overlapping
+    samples are treated as spurious (engine.py's guard)."""
+    if align == "off":
+        return xest, xref
+    from .align import align_pair, compensate_piecewise, estimate_delay
+
+    n = min(len(xest), len(xref))
+    xest, xref = xest[:n], xref[:n]
+    if align == "guard":
+        d = estimate_delay(xest, xref, fs).d
+        if d == 0:
+            return xest, xref
+        utts, uds = [(0, n)], [d]
+    else:
+        utts, uds, _ = align_pair(xest, xref, fs)
+        if all(d == 0 for d in uds):
+            return xest, xref
+    if max(abs(d) for d in uds) >= n - 512:
+        return xest, xref  # spurious estimate; keep the unshifted pair
+    print(f"  WARNING: compensating delay(s) {uds} before scoring")
+    return compensate_piecewise(np.asarray(xest, np.float32),
+                                np.asarray(xref, np.float32), utts, uds)
+
+
 def _score_pair(xest, xref, fs, compute_pesq=True):
     """Scores for one time-aligned pair of signals
     (score_audio.m:177-238 semantics: truncate to common length first).
@@ -52,13 +82,14 @@ def _score_pair(xest, xref, fs, compute_pesq=True):
     return np.array([sdr, raw_snr, loc, glo, pesq_mos, stoi_score])
 
 
-def compute_scores(est_file, ref_file, compute_pesq=True):
+def compute_scores(est_file, ref_file, compute_pesq=True, align="guard"):
     """Scores for one file pair."""
     xest, fs_est = wavread_fs(est_file)
     xref, fs_ref = wavread_fs(ref_file)
     if fs_est != fs_ref:
         raise ValueError(f"fs mismatch: {fs_est} vs {fs_ref}")
-    return _score_pair(xest[0], xref[0], fs_est, compute_pesq=compute_pesq)
+    xe, xr = _apply_alignment(xest[0], xref[0], fs_est, align)
+    return _score_pair(xe, xr, fs_est, compute_pesq=compute_pesq)
 
 
 def score_taskfiles(enhanced_files, reference_files, savefile=None,
@@ -68,11 +99,14 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
     S is (n_files, 6).
 
     ``align``: "guard" (default -- the in-repo mask pipeline emits
-    sample-aligned pairs) compensates constant delays the engine's
-    +-128 ms estimate flags; "full" runs the P.862-style unbounded +
-    per-utterance host alignment on every pair (the general-scorer mode,
-    scripts/score_audio.py).  Only the packed engine path honors it; the
-    per-file fallback paths score pairs as given."""
+    sample-aligned pairs) compensates a constant delay when one is
+    detected; "full" runs the P.862-style unbounded + per-utterance host
+    alignment on every pair (the general-scorer mode,
+    scripts/score_audio.py); "off" scores pairs exactly as given.  Every
+    path honors it: the packed engine compensates on device
+    (engine.py), the per-file / mixed-fs / no-native fallbacks
+    pre-align on the host with the same estimators
+    (:func:`_apply_alignment`)."""
     if savefile is not None and os.path.isfile(savefile) and not flag_rescore:
         data = np.load(savefile)
         return data["S"], list(SCORE_LABELS)
@@ -134,6 +168,13 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
         elif len(set(fs_ref)) == 1:
             from .stoi import stoi_packed
 
+            if align != "off":
+                aligned = [_apply_alignment(ests[i], refs[i], fs_ref[i],
+                                            align)
+                           for i in range(len(pairs))]
+                ests = [a[0] for a in aligned]
+                refs = [a[1] for a in aligned]
+
             def pesq_job(i):
                 n = min(len(ests[i]), len(refs[i]))
                 return pesq_16k(refs[i][:n], ests[i][:n], fs_ref[i],
@@ -160,7 +201,9 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
             # mixed sample rates: SegSNR frame length differs per file, so
             # stream pairs through the per-file fused kernels instead
             def job(i):
-                return _score_pair(ests[i], refs[i], fs_ref[i],
+                xe, xr = _apply_alignment(ests[i], refs[i], fs_ref[i],
+                                          align)
+                return _score_pair(xe, xr, fs_ref[i],
                                    compute_pesq=compute_pesq)
 
             scores = [job(0)]  # warm the jit caches
@@ -168,7 +211,8 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
                 scores.extend(pool.map(job, range(1, len(pairs))))
     else:
         def job(pair):
-            return compute_scores(pair[0], pair[1], compute_pesq=compute_pesq)
+            return compute_scores(pair[0], pair[1],
+                                  compute_pesq=compute_pesq, align=align)
 
         # warm the jit caches on the first file, then stream the rest through
         # a small thread pool (decode overlaps device compute)

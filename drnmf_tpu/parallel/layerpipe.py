@@ -83,29 +83,22 @@ def drnmf_scan_layer_pipelined(params, config, x, step_mask, mesh,
             h0 = jax.nn.softplus(params["log_h0"])
         else:
             h0 = params["h0"]
-        folded = isinstance(U, FoldedU)
-        factored = bool(S) and isinstance(S[0], tuple)
         wts = {"w": jnp.stack(W), "b": jnp.stack(b), "h0": h0}
-        specs = {"w": P(axis_name), "b": P(axis_name), "h0": P()}
-        if factored:
+        if bool(S) and isinstance(S[0], tuple):  # factored
             z = jnp.zeros_like(S[0][0])
             wts["dk"] = jnp.stack([z] + [s[0] for s in S])
             wts["dka"] = jnp.stack([z] + [s[1] for s in S])
-            specs["dk"] = specs["dka"] = P(axis_name)
         elif S:
             z = jnp.zeros_like(S[0])
             wts["s"] = jnp.stack([z] + list(S))
-            specs["s"] = P(axis_name)
-        if folded:
+        if isinstance(U, FoldedU):
             wts["u_diag1"], wts["u_off1"], wts["u_c"] = (
                 U.diag1, U.off1, U.c)
-            specs["u_diag1"] = specs["u_off1"] = specs["u_c"] = P()
         else:
             # device p needs only U[min(p, 1)]: stack per layer and shard
             # (16 MB per device at 2r=2000 instead of 2x16 MB replicated)
             wts["u"] = jnp.stack([U[min(k, 1)] for k in range(K)])
-            specs["u"] = P(axis_name)
-        return wts, specs, folded, factored
+        return wts
 
     def local(wts, x_full, m_full):
         p = jax.lax.axis_index(axis_name)
@@ -178,18 +171,22 @@ def drnmf_scan_layer_pipelined(params, config, x, step_mask, mesh,
                  tuple(d.id for d in mesh.devices.flat))
     fn = _COMPILED.get(cache_key)
     if fn is None:
-        # evaluate once to learn the (config/params-structure-determined)
-        # stack specs and the folded/factored trace statics
-        _, specs, folded, factored = stacks(params)
+        # learn the (config/params-structure-determined) stack layout
+        # WITHOUT materializing the stacks: eval_shape traces abstractly
+        shapes = jax.eval_shape(stacks, params)
+        folded = "u_diag1" in shapes
+        factored = "dk" in shapes
+        replicated = ("h0", "u_diag1", "u_off1", "u_c")
+        specs = {k: (P() if k in replicated else P(axis_name))
+                 for k in shapes}
 
         def run(params, x_full, m_full):
-            wts, _, _, _ = stacks(params)
             shard = jax.shard_map(
                 local, mesh=mesh,
                 in_specs=(specs, P(), P()),  # per-layer weights over 'pp'
                 out_specs=P(),
             )
-            return shard(wts, x_full, m_full)
+            return shard(stacks(params), x_full, m_full)
 
         fn = jax.jit(run)
         _COMPILED.put(cache_key, fn)

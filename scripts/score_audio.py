@@ -48,10 +48,12 @@ def main():
                         help="ignore cached score files")
     parser.add_argument("--no-align", action="store_true",
                         help="skip the P.862-style time alignment "
-                        "(unbounded + per-utterance delay compensation; on "
-                        "by default like the reference's pesq_16kHz stack, "
-                        "score_audio.m:225). The engine's +-128 ms constant-"
-                        "delay guard still applies.")
+                        "(unbounded + per-utterance delay compensation, on "
+                        "by default).  The reference aligned only inside "
+                        "PESQ (score_audio.m:225 via pesq_16kHz); applying "
+                        "the same alignment to all six metrics is this "
+                        "framework's extension.  With --no-align the "
+                        "constant-delay detection guard still applies.")
     args = parser.parse_args()
     align = "guard" if args.no_align else "full"
 

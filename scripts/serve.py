@@ -356,7 +356,9 @@ def serve_multi(srv, multi, max_connections=0, max_chunk=MAX_CHUNK_SAMPLES,
         coord.join(timeout=10)
 
 
-_FLUSH = object()  # inbox sentinel: the client requested flush-and-close
+_FLUSH = object()    # inbox sentinel: the client requested flush-and-close
+_RESERVED = object()  # slot claimed by the accept thread, socket not yet
+                      # handed to the selector -- never a real connection
 
 
 class _ESlot:
@@ -380,6 +382,7 @@ class _ESlot:
         self.close_after_write = False
         self.dead = False           # connection failed mid-stream
         self.need_recycle = False   # device state must be reset
+        self.rx_eof = False         # peer half-closed while flush pending
         self.last_rx = 0.0
 
     def pop_block(self, blk):
@@ -584,7 +587,7 @@ class SelectorStreamServer:
         """Selector thread: drop connection i and hand its device state to
         the coordinator for recycling."""
         s = self.slots[i]
-        if s.conn is None:
+        if s.conn is None or s.conn is _RESERVED:
             return
         try:
             self.sel.unregister(s.conn)
@@ -625,7 +628,22 @@ class SelectorStreamServer:
             self._fail_conn(i)
             return
         if not data:
-            if not (s.close_after_write and s.wbuf):
+            # peer half-closed.  If a flush is anywhere in flight (parsed,
+            # committed, or its reply already queued), the client is
+            # legitimately waiting for the final samples: stop READ
+            # polling (prevents a zero-byte busy spin) and let the
+            # coordinator's _write_flags path deliver the reply, which
+            # closes the socket.  EOF mid-stream is a failure as before.
+            with self.cond:
+                flushing = (s.flushing or s.close_after_write
+                            or any(it is _FLUSH for it in s.inbox))
+                s.rx_eof = True
+            if flushing:
+                try:
+                    self.sel.unregister(s.conn)
+                except (KeyError, ValueError):
+                    pass
+            else:
                 self._fail_conn(i)
             return
         s.last_rx = time.monotonic()
@@ -694,7 +712,13 @@ class SelectorStreamServer:
         try:
             self.sel.modify(s.conn, events, i)
         except (KeyError, ValueError):
-            pass
+            if not drained:
+                # socket was unregistered (half-close path) but the reply
+                # is back-pressured: re-register for writability
+                try:
+                    self.sel.register(s.conn, events, i)
+                except (KeyError, ValueError, OSError):
+                    pass
 
     def selector_loop(self):
         while True:
@@ -729,18 +753,20 @@ class SelectorStreamServer:
             with self.lock:
                 flags, self._write_flags = self._write_flags, set()
             for i in flags:
-                if self.slots[i].conn is not None:
+                if self.slots[i].conn not in (None, _RESERVED):
                     self._flush_writes(i)
-            # recv timeouts (coarse)
+            # recv timeouts (coarse); _RESERVED slots are not sockets yet
+            # and a half-closed flushing peer sends nothing by design
             if self.timeout:
                 now = time.monotonic()
                 for i, s in enumerate(self.slots):
-                    if s.conn is not None and not s.dead \
-                            and now - s.last_rx > self.timeout:
+                    if (s.conn is not None and s.conn is not _RESERVED
+                            and not s.dead and not s.rx_eof
+                            and now - s.last_rx > self.timeout):
                         self._fail_conn(i)
         # shutdown or coordinator failure: drop every live connection
         for i, s in enumerate(self.slots):
-            if s.conn is not None:
+            if s.conn is not None and s.conn is not _RESERVED:
                 try:
                     self.sel.unregister(s.conn)
                 except (KeyError, ValueError):
@@ -763,7 +789,8 @@ class SelectorStreamServer:
             i = next(i for i, s in enumerate(self.slots)
                      if s.conn is None and not s.need_recycle)
             self.slots[i].__init__()
-            self.slots[i].conn = True  # reserved; selector sets the socket
+            self.slots[i].conn = _RESERVED  # selector sets the socket
+            self.slots[i].last_rx = time.monotonic()
         self._newconns.put((i, conn))
         self._wake_selector()
         return i

@@ -902,3 +902,26 @@ def test_engine_guard_refines_aliased_delay(rng):
     assert delays[0] == d, delays
     S0, _ = score_all_packed([est], [ref], 16000, align="off")
     np.testing.assert_allclose(S[0], S0[0], rtol=0.05, atol=0.25)
+
+
+def test_scoring_single_pair_alignment(rng, tmp_path):
+    """align is honored on the per-file path too (reviewer finding: a
+    single file pair bypassed the packed engine and scored the shifted
+    pair as given despite align='full')."""
+    from drnmf_tpu.dsp.wav import wavwrite
+    from drnmf_tpu.metrics.scoring import score_taskfiles
+
+    ref = _gappy_speech(rng)
+    est = _noisy_active(rng, ref)
+    d = 4000
+    p_ref, p_est = str(tmp_path / "r.wav"), str(tmp_path / "e.wav")
+    wavwrite(p_ref, 16000, ref)
+    wavwrite(p_est, 16000, _shift(est, d))
+    S1, _ = score_taskfiles([p_est], [p_ref], align="full")  # 1 pair
+    S0, _ = score_taskfiles([p_est], [p_ref], align="off",
+                            savefile=None)
+    # compensated scores land near the aligned pair's; unaligned collapse
+    from drnmf_tpu.metrics.scoring import _score_pair
+    want = _score_pair(est[: len(est) - d], ref[: len(ref) - d], 16000)
+    np.testing.assert_allclose(S1[0], want, rtol=0.05, atol=0.25)
+    assert S1[0][2] > S0[0][2] + 0.5  # SegSNR gains from compensation

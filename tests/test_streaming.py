@@ -804,3 +804,38 @@ def test_serve_selector_slot_reuse():
         th.join(timeout=15)
         srv.close()
     assert not srv_err, srv_err
+
+
+def test_serve_selector_halfclose_after_flush():
+    """A client that sends its flush request and immediately half-closes
+    the write side (shutdown SHUT_WR) still receives the final samples --
+    the reviewer-found regression vs the thread server, where the EOF
+    readable event dropped the connection before the flush reply."""
+    import socket
+    import struct
+
+    serve = _import_serve()
+
+    blk = 32
+    multi = _StubMulti(1, blk)
+    srv, port, th, srv_err = _serve_stub_selector(multi, 1)
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        x = np.ones(blk, np.float32)
+        sock.sendall(struct.pack("<i", x.size) + x.tobytes())
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        serve._recv_exact(sock, 4 * m)
+        tail = np.full(7, 2.0, np.float32)
+        sock.sendall(struct.pack("<i", tail.size) + tail.tobytes())
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        serve._recv_exact(sock, 4 * m)
+        sock.sendall(struct.pack("<i", 0))
+        sock.shutdown(socket.SHUT_WR)  # half-close BEFORE reading the reply
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        out = np.frombuffer(serve._recv_exact(sock, 4 * m), dtype="<f4")
+        np.testing.assert_array_equal(out, tail + 1000.0)  # stub flush
+        sock.close()
+    finally:
+        th.join(timeout=15)
+        srv.close()
+    assert not srv_err, srv_err
