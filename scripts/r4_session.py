@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Round-4 TPU session driver: the remaining chip-bound studies in ONE
+process (one axon claim): the 10%-data paper grid (VERDICT r3 next #2)
+then the seeded batch-scaling study (next #4).
+
+Under the axon tunnel every fresh TPU process can pay a multi-minute
+claim; chaining the studies through one interpreter pays it once.  Both
+stages are hash-cached + elastic-resumable, so re-running after a kill
+continues exactly.
+
+Usage:
+    python scripts/r4_session.py [--skip-ds10] [--skip-bscale]
+        [--ds10-data /root/grid_r3_big/params_data_big_ds10.yaml]
+        [--bscale-data /root/grid_r3_big/params_data_big.yaml]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--skip-ds10", action="store_true")
+    parser.add_argument("--skip-bscale", action="store_true")
+    parser.add_argument("--ds10-data",
+                        default="/root/grid_r3_big/params_data_big_ds10.yaml")
+    parser.add_argument("--bscale-data",
+                        default="/root/grid_r3_big/params_data_big.yaml")
+    parser.add_argument("--bscale-epochs", type=int, default=300)
+    parser.add_argument("--only", default=None,
+                        help="forwarded to run_waspaa2017 --only")
+    args = parser.parse_args()
+
+    import bench  # repo-root bench.py: backend bring-up + compile cache
+
+    bench._enable_compile_cache()
+    devs = bench._ensure_backend()
+    print(f"[r4session] backend up: {devs[0].device_kind}", flush=True)
+
+    if not args.skip_ds10:
+        t0 = time.time()
+        print("[r4session] == 10%-data paper grid ==", flush=True)
+        import run_waspaa2017
+
+        argv = ["--paper", "--data-config", args.ds10_data]
+        if args.only:
+            argv += ["--only", args.only]
+        sys.argv = ["run_waspaa2017.py"] + argv
+        run_waspaa2017.main()
+        print(f"[r4session] ds10 grid wall: {time.time() - t0:.0f}s",
+              flush=True)
+
+    if not args.skip_bscale:
+        t0 = time.time()
+        print("[r4session] == seeded batch-scaling study ==", flush=True)
+        import batch_scaling_study
+
+        sys.argv = ["batch_scaling_study.py", "-d", args.bscale_data,
+                    "--epochs", str(args.bscale_epochs)]
+        batch_scaling_study.main()
+        print(f"[r4session] bscale study wall: {time.time() - t0:.0f}s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
