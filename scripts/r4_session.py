@@ -1,15 +1,18 @@
 #!/usr/bin/env python
 """Round-4 TPU session driver: the remaining chip-bound studies in ONE
-process (one axon claim): the 10%-data paper grid (VERDICT r3 next #2)
-then the seeded batch-scaling study (next #4).
+process (one axon claim): the quick extras first (train-step attribution
+profile, VERDICT r3 next #5; event-loop paced-SLO serve bench, next #6),
+then the 10%-data paper grid (next #2), then the seeded batch-scaling
+study (next #4).
 
 Under the axon tunnel every fresh TPU process can pay a multi-minute
-claim; chaining the studies through one interpreter pays it once.  Both
-stages are hash-cached + elastic-resumable, so re-running after a kill
-continues exactly.
+claim; chaining the studies through one interpreter pays it once.  The
+long stages are hash-cached + elastic-resumable, so re-running after a
+kill continues exactly; the extras re-run cheaply (~10 min).
 
 Usage:
-    python scripts/r4_session.py [--skip-ds10] [--skip-bscale]
+    python scripts/r4_session.py [--skip-extras] [--skip-ds10]
+        [--skip-bscale]
         [--ds10-data /root/grid_r3_big/params_data_big_ds10.yaml]
         [--bscale-data /root/grid_r3_big/params_data_big.yaml]
 """
@@ -25,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--skip-extras", action="store_true")
     parser.add_argument("--skip-ds10", action="store_true")
     parser.add_argument("--skip-bscale", action="store_true")
     parser.add_argument("--ds10-data",
@@ -41,6 +45,16 @@ def main():
     bench._enable_compile_cache()
     devs = bench._ensure_backend()
     print(f"[r4session] backend up: {devs[0].device_kind}", flush=True)
+
+    if not args.skip_extras:
+        t0 = time.time()
+        print("[r4session] == quick extras: profile-train + serve SLO ==",
+              flush=True)
+        sys.argv = ["bench.py"]  # no --serve-tcp-threads: event-loop server
+        bench.bench_profile_train()
+        bench.bench_serve_tcp()
+        print(f"[r4session] extras wall: {time.time() - t0:.0f}s",
+              flush=True)
 
     if not args.skip_ds10:
         t0 = time.time()
