@@ -37,15 +37,17 @@ def _ensure_backend(budget_s=None):
 
     Tries ``jax.devices()``; on failure clears the cached backend error
     (``jax.extend.backend.clear_backends`` -- the axon get_backend hook
-    survives it) and retries in-process until the budget (default 1500 s,
-    env ``DRNMF_BENCH_BACKEND_BUDGET_S``) is spent, then prints a
+    survives it) and retries in-process until the budget (default 3600 s
+    -- the round-3 outage that killed the driver capture lasted the better
+    part of an hour; env ``DRNMF_BENCH_BACKEND_BUDGET_S``) is spent, then
+    prints a
     structured failure line and exits 1.  Progress notes go to stderr so
     a timed-out capture still shows how far bring-up got."""
     import jax
 
     if budget_s is None:
         budget_s = float(os.environ.get("DRNMF_BENCH_BACKEND_BUDGET_S",
-                                        "1500"))
+                                        "3600"))
     deadline = time.monotonic() + budget_s
     attempt = 0
     while True:
