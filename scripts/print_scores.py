@@ -9,9 +9,13 @@ score files the pipeline writes.
 
 Usage:
     python scripts/print_scores.py data_setup_downsample1 [--latex] [--per-snr]
+    python scripts/print_scores.py data_setup_downsample1 data_setup_downsample10
 
 ``--per-snr`` adds the per-SNR-condition breakdown (m6dB..9dB columns per
 split) like the reference's ``print_per_snr`` mode (print_scores.py:93-100).
+Passing SEVERAL experiment dirs prints ONE combined table with a per-row
+num_train column -- the paper's both-data-conditions layout (the reference
+assembled 100%% and 10%% rows into one LaTeX table, print_scores.py:34).
 """
 
 import argparse
@@ -119,7 +123,7 @@ def num_train_files(data_cfg):
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("folder_exp")
+    parser.add_argument("folder_exp", nargs="+")
     parser.add_argument("--latex", action="store_true")
     parser.add_argument("--splits", default="valid,test")
     parser.add_argument("--data-config", default=None,
@@ -131,16 +135,28 @@ def main():
     args = parser.parse_args()
 
     splits = tuple(s for s in args.splits.split(",") if s)
-    rows = model_rows(args.folder_exp, splits)
-    if not rows:
-        sys.exit(f"no configs found under {args.folder_exp}/configs")
-
-    data_cfg_path = args.data_config or os.path.join(
-        args.folder_exp, "params_data.yaml")
-    n_train = None
-    if os.path.isfile(data_cfg_path):
-        with open(data_cfg_path) as f:
-            n_train = num_train_files(yaml.safe_load(f))
+    rows, n_train = [], None
+    for folder in args.folder_exp:
+        frows = model_rows(folder, splits)
+        if not frows:
+            sys.exit(f"no configs found under {folder}/configs")
+        data_cfg_path = (args.data_config if len(args.folder_exp) == 1
+                         and args.data_config
+                         else os.path.join(folder, "params_data.yaml"))
+        nt = None
+        if os.path.isfile(data_cfg_path):
+            with open(data_cfg_path) as f:
+                nt = num_train_files(yaml.safe_load(f))
+        for r in frows:
+            r["num_train"] = nt
+            r["folder"] = folder
+        n_train = nt if nt is not None else n_train
+        rows.extend(frows)
+    if len(args.folder_exp) > 1:
+        # both-conditions layout: pair each model's conditions, full data
+        # first (reference print_scores.py:34 num_train ordering)
+        rows.sort(key=lambda r: (r["model"], str(r["N"]), str(r["K"]),
+                                 -(r["num_train"] or 0)))
 
     def fmt(v, spec=".3f"):
         return format(v, spec) if isinstance(v, float) else str(v)
@@ -155,7 +171,7 @@ def main():
             print(hdr)
             print("-" * len(hdr))
             for r in rows:
-                means = per_snr_means(args.folder_exp, r["tag"], split)
+                means = per_snr_means(r["folder"], r["tag"], split)
                 if not means:
                     continue
                 cols = " ".join(
@@ -168,20 +184,25 @@ def main():
             print()
         return
 
+    multi = len(args.folder_exp) > 1
     if args.latex:
+        nt_lab = ("num train",) if multi else ()
         table_rows = [
             (r["model"], r["K"], r["N"], r["params"],
+             *((r["num_train"] if r["num_train"] is not None else "-",)
+               if multi else ()),
              r["val_loss"] if r["val_loss"] is not None else "-",
              *[r[f"sdr_{s}"] if r[f"sdr_{s}"] is not None else "-"
                for s in splits])
             for r in rows
         ]
-        labels = ("Model", "K", "N", "Params", "val loss",
+        labels = ("Model", "K", "N", "Params", *nt_lab, "val loss",
                   *[f"SDR {s}" for s in splits])
         print(latex_table(table_rows, labels))
         return
 
-    nt_col = f" {'num_train':>9}" if n_train is not None else ""
+    show_nt = multi or n_train is not None
+    nt_col = f" {'num_train':>9}" if show_nt else ""
     hdr = (f"{'model':<16} {'K':>2} {'N':>5} {'params':>9}{nt_col} "
            f"{'val_loss':>10} "
            + " ".join(f"{'SDR ' + s:>10}" for s in splits))
@@ -193,7 +214,8 @@ def main():
             f"{fmt(r[f'sdr_{s}'], '.2f') if r[f'sdr_{s}'] is not None else '-':>10}"
             for s in splits
         )
-        nt = f" {n_train:>9}" if n_train is not None else ""
+        rnt = r["num_train"] if multi else n_train
+        nt = f" {rnt if rnt is not None else '-':>9}" if show_nt else ""
         print(f"{r['model']:<16} {r['K']:>2} {r['N']:>5} {r['params']:>9}"
               f"{nt} {vl:>10} {sdr_cols}")
 

@@ -229,6 +229,14 @@ def generate_configs(downsample, taskfile_dir=".", grid=None,
     if data_config_path is None:
         data_config_path = os.path.join(setup, "params_data.yaml")
         dump_yaml(data_config(downsample, taskfile_dir), data_config_path)
+    else:
+        # keep a copy in the setup dir so reporting (print_scores
+        # num_train column) finds the condition's data config
+        local = os.path.join(setup, "params_data.yaml")
+        if os.path.abspath(local) != os.path.abspath(data_config_path):
+            import shutil
+
+            shutil.copy(data_config_path, local)
     model_paths = []
     for model_type, cfg in (grid or GRID):
         # 'resume' is run control, not model identity: hash like the
