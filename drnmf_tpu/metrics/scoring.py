@@ -109,7 +109,15 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
     (:func:`_apply_alignment`)."""
     if savefile is not None and os.path.isfile(savefile) and not flag_rescore:
         data = np.load(savefile)
-        return data["S"], list(SCORE_LABELS)
+        # the cache records the align mode it was scored under (files from
+        # before the field behaved like "guard"); a mismatch silently
+        # returning stale scores would make the align flag a no-op
+        cached_align = (str(data["align"]) if "align" in data.files
+                        else "guard")
+        if cached_align == align:
+            return data["S"], list(SCORE_LABELS)
+        print(f"  rescoring {os.path.basename(savefile)}: cached under "
+              f"align='{cached_align}', requested '{align}'")
 
     pairs = list(zip(enhanced_files, reference_files))
 
@@ -228,7 +236,8 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
 
     if savefile is not None:
         os.makedirs(os.path.dirname(os.path.abspath(savefile)), exist_ok=True)
-        np.savez(savefile, S=S, labels=np.array(SCORE_LABELS, dtype="S"))
+        np.savez(savefile, S=S, labels=np.array(SCORE_LABELS, dtype="S"),
+                 align=np.array(align))
     return S, list(SCORE_LABELS)
 
 

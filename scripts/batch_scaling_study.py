@@ -21,7 +21,6 @@ Usage:
 import argparse
 import json
 import os
-import pickle
 import sys
 import time
 
@@ -44,6 +43,7 @@ def main():
     args = parser.parse_args()
 
     from drnmf_tpu import pipeline
+    from drnmf_tpu.reporting import best_val_loss
     from drnmf_tpu.utils import (config_hash, dump_yaml, enable_compile_cache,
                                  load_yaml)
 
@@ -95,9 +95,10 @@ def main():
                                      f"history_unfolded_snmf_{h}")
             val_loss = float("nan")
             if os.path.exists(hist_path):
-                with open(hist_path, "rb") as f:
-                    hist = pickle.load(f)
-                val_loss = float(hist["on_epoch_end"]["val_loss"][-1])
+                # BEST val loss, not the last epoch's: the checkpoint that
+                # was scored for SDR/STOI is the best-val model, and the
+                # same column print_scores reports (reporting.py)
+                val_loss = best_val_loss(hist_path)
             rows.append((bsz, lr, seed, val_loss, overall.ravel()))
             print(f"== batch {bsz} seed {seed} wall: "
                   f"{time.time() - t0:.1f}s  val_loss {val_loss:.5f}  "

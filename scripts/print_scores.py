@@ -154,8 +154,12 @@ def main():
         rows.extend(frows)
     if len(args.folder_exp) > 1:
         # both-conditions layout: pair each model's conditions, full data
-        # first (reference print_scores.py:34 num_train ordering)
-        rows.sort(key=lambda r: (r["model"], str(r["N"]), str(r["K"]),
+        # first (reference print_scores.py:34 num_train ordering); size
+        # keys sort numerically ('-' placeholders last)
+        def _num(v):
+            return (0, v) if isinstance(v, int) else (1, 0)
+
+        rows.sort(key=lambda r: (r["model"], _num(r["N"]), _num(r["K"]),
                                  -(r["num_train"] or 0)))
 
     def fmt(v, spec=".3f"):

@@ -638,9 +638,17 @@ class SelectorStreamServer:
                 flushing = (s.flushing or s.close_after_write
                             or any(it is _FLUSH for it in s.inbox))
                 s.rx_eof = True
+                pending_write = bool(s.wbuf)
             if flushing:
+                # keep WRITE interest if reply bytes are already queued
+                # and back-pressured -- unregistering here would orphan
+                # them (nothing re-arms the write until the coordinator
+                # queues NEW bytes, which it may never do again)
                 try:
-                    self.sel.unregister(s.conn)
+                    if pending_write:
+                        self.sel.modify(s.conn, selectors.EVENT_WRITE, i)
+                    else:
+                        self.sel.unregister(s.conn)
                 except (KeyError, ValueError):
                     pass
             else:
@@ -699,6 +707,8 @@ class SelectorStreamServer:
             self._fail_conn(i)
             return
         rest = buf[sent:]
+        if sent:
+            s.last_rx = time.monotonic()  # write progress counts as life
         with self.cond:
             if rest:
                 s.wbuf = bytearray(rest) + s.wbuf
@@ -755,13 +765,16 @@ class SelectorStreamServer:
             for i in flags:
                 if self.slots[i].conn not in (None, _RESERVED):
                     self._flush_writes(i)
-            # recv timeouts (coarse); _RESERVED slots are not sockets yet
-            # and a half-closed flushing peer sends nothing by design
+            # recv timeouts (coarse); _RESERVED slots are not sockets yet.
+            # A half-closed flushing peer sends nothing by design, so it
+            # is exempt UNLESS its reply bytes are back-pressured with no
+            # send progress (a vanished reader would leak the slot)
             if self.timeout:
                 now = time.monotonic()
                 for i, s in enumerate(self.slots):
                     if (s.conn is not None and s.conn is not _RESERVED
-                            and not s.dead and not s.rx_eof
+                            and not s.dead
+                            and (not s.rx_eof or s.wbuf)
                             and now - s.last_rx > self.timeout):
                         self._fail_conn(i)
         # shutdown or coordinator failure: drop every live connection

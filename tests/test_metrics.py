@@ -151,6 +151,20 @@ def test_score_taskfiles_and_cache(tmp_path, rng):
     S2, _ = score_taskfiles([p[0] for p in pairs], [p[1] for p in pairs],
                             savefile=save)
     np.testing.assert_array_equal(S, S2)
+    # the cache records its align mode: requesting a different mode must
+    # rescore (not silently return stale scores), and the rescoring run
+    # rewrites the cache under the new mode
+    S3, _ = score_taskfiles([p[0] for p in pairs], [p[1] for p in pairs],
+                            savefile=save, align="full")
+    assert str(np.load(save)["align"]) == "full"
+    np.testing.assert_allclose(S, S3, atol=1e-4)  # pairs are aligned
+    # legacy cache files (no align field) behave like align='guard'
+    data = dict(np.load(save))
+    data.pop("align")
+    np.savez(save, **data)
+    S4, _ = score_taskfiles([p[0] for p in pairs], [p[1] for p in pairs],
+                            savefile=save, align="guard")
+    np.testing.assert_array_equal(S3, S4)  # cache hit, no rescore
 
 
 def test_score_taskfiles_native_matches_scipy_path(tmp_path, rng):

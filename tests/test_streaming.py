@@ -839,3 +839,60 @@ def test_serve_selector_halfclose_after_flush():
         th.join(timeout=15)
         srv.close()
     assert not srv_err, srv_err
+
+
+def test_serve_selector_halfclose_backpressured_flush_reply():
+    """A half-close that lands while the (large) flush reply is still
+    back-pressured in the server's write buffer must not orphan it: the
+    EOF path keeps WRITE interest instead of unregistering the socket,
+    so a slow reader still drains the full reply (review finding: the
+    unregister left wbuf bytes with nothing to re-arm the write)."""
+    import socket
+    import struct
+    import time as _time
+
+    serve = _import_serve()
+
+    blk = 65536
+    multi = _StubMulti(1, blk)
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    # tiny send buffer (inherited by accepted sockets) so the ~240 KB
+    # flush reply is guaranteed to back-pressure
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 4096)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    err = []
+    import threading
+
+    def run():
+        try:
+            serve.serve_multi_selector(srv, multi, max_connections=1,
+                                       timeout=30.0, verbose=False)
+        except Exception as e:
+            err.append(e)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    port = srv.getsockname()[1]
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        tail = np.arange(60000, dtype=np.float32)
+        sock.sendall(struct.pack("<i", tail.size) + tail.tobytes())
+        sock.sendall(struct.pack("<i", 0))  # flush
+        _time.sleep(0.5)  # let the reply queue and partially send
+        sock.shutdown(socket.SHUT_WR)
+        _time.sleep(0.5)  # EOF processed while wbuf is back-pressured
+        sock.settimeout(30)
+        # tail chunk reply (no full block yet -> empty), then the flush
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        serve._recv_exact(sock, 4 * m)
+        (m,) = struct.unpack("<i", serve._recv_exact(sock, 4))
+        out = np.frombuffer(serve._recv_exact(sock, 4 * m), dtype="<f4")
+        np.testing.assert_array_equal(out, tail + 1000.0)
+        sock.close()
+    finally:
+        th.join(timeout=15)
+        srv.close()
+    assert not err, err
