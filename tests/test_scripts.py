@@ -129,6 +129,40 @@ def test_print_scores_per_snr(tmp_path):
     assert abs(float(cols[6]) - 11.0) < 0.2
 
 
+def test_print_scores_both_conditions(tmp_path):
+    """Several experiment dirs print ONE combined table with a per-row
+    num_train column (reference print_scores.py:34's both-data-conditions
+    layout), conditions paired per model with full data first and sizes
+    ordered numerically."""
+    import yaml
+
+    wavs = tmp_path / "wavs.txt"
+    wavs.write_text("\n".join(f"f{i}.wav" for i in range(40)) + "\n")
+    for ds, name in [(1, "exp1"), (10, "exp10")]:
+        exp = tmp_path / name
+        (exp / "configs").mkdir(parents=True)
+        (exp / "scores").mkdir()
+        with open(exp / "params_data.yaml", "w") as f:
+            yaml.safe_dump({"downsample": ds,
+                            "taskfile_x_train": str(wavs)}, f)
+        for r_dim in (64, 512):  # 512 must sort after 64 (not lexically)
+            tag = f"unfolded_snmf_h{r_dim}"
+            with open(exp / "configs" / f"params_{tag}.yaml", "w") as f:
+                yaml.safe_dump({"K_layers": 2, "r": r_dim}, f)
+            S = np.zeros((2, 6))
+            S[:, 0] = 5.0 + r_dim / 100 + (0 if ds == 1 else -1)
+            np.savez(exp / "scores" / f"scores_{tag}_valid_0dB.npz", S=S)
+    r = run([os.path.join(SCRIPTS, "print_scores.py"),
+             str(tmp_path / "exp1"), str(tmp_path / "exp10"),
+             "--splits", "valid"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    rows = [l.split() for l in r.stdout.splitlines()
+            if l.startswith("unfolded_snmf")]
+    # (N, num_train) pairing: 128-dim pair (full data first), then 1024
+    assert [(c[2], c[4]) for c in rows] == [
+        ("128", "40"), ("128", "4"), ("1024", "40"), ("1024", "4")]
+
+
 def test_run_waspaa2017_smoke_generate(tmp_path):
     r = run([os.path.join(SCRIPTS, "run_waspaa2017.py"), "--smoke",
              "--generate-only"], str(tmp_path))
