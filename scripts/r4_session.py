@@ -46,19 +46,32 @@ def main():
     devs = bench._ensure_backend()
     print(f"[r4session] backend up: {devs[0].device_kind}", flush=True)
 
-    if not args.skip_extras:
+    failures = {}
+
+    def stage(name, fn):
+        """Stages are fault-isolated: a crash in one must not abort the
+        session's remaining (hours-long, cached) studies."""
         t0 = time.time()
-        print("[r4session] == quick extras: profile-train + serve SLO ==",
+        print(f"[r4session] == {name} ==", flush=True)
+        try:
+            fn()
+        except SystemExit as e:  # argparse/exit() inside a stage
+            if e.code not in (0, None):
+                failures[name] = f"SystemExit({e.code})"
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            failures[name] = f"{type(e).__name__}: {e}"
+        print(f"[r4session] {name} wall: {time.time() - t0:.0f}s",
               flush=True)
+
+    def extras():
         sys.argv = ["bench.py"]  # no --serve-tcp-threads: event-loop server
         bench.bench_profile_train()
         bench.bench_serve_tcp()
-        print(f"[r4session] extras wall: {time.time() - t0:.0f}s",
-              flush=True)
 
-    if not args.skip_ds10:
-        t0 = time.time()
-        print("[r4session] == 10%-data paper grid ==", flush=True)
+    def ds10():
         import run_waspaa2017
 
         argv = ["--paper", "--data-config", args.ds10_data]
@@ -66,19 +79,24 @@ def main():
             argv += ["--only", args.only]
         sys.argv = ["run_waspaa2017.py"] + argv
         run_waspaa2017.main()
-        print(f"[r4session] ds10 grid wall: {time.time() - t0:.0f}s",
-              flush=True)
 
-    if not args.skip_bscale:
-        t0 = time.time()
-        print("[r4session] == seeded batch-scaling study ==", flush=True)
+    def bscale():
         import batch_scaling_study
 
         sys.argv = ["batch_scaling_study.py", "-d", args.bscale_data,
                     "--epochs", str(args.bscale_epochs)]
         batch_scaling_study.main()
-        print(f"[r4session] bscale study wall: {time.time() - t0:.0f}s",
-              flush=True)
+
+    if not args.skip_extras:
+        stage("quick extras: profile-train + serve SLO", extras)
+    if not args.skip_ds10:
+        stage("10%-data paper grid", ds10)
+    if not args.skip_bscale:
+        stage("seeded batch-scaling study", bscale)
+    if failures:
+        print(f"[r4session] FAILED stages: {failures}", flush=True)
+        sys.exit(1)
+    print("[r4session] all stages complete", flush=True)
 
 
 if __name__ == "__main__":
