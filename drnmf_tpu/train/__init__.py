@@ -1,5 +1,6 @@
 from .losses import masked_mse_signal_approx, snmf_pretrain_loss
-from .loop import TrainConfig, train_model, make_optimizer, evaluate
+from .loop import (TrainConfig, TrainingDeadline, train_model,
+                   make_optimizer, evaluate)
 from .history import LossHistory
 from .checkpoint import (save_checkpoint, load_checkpoint,
                          save_checkpoint_orbax, load_checkpoint_orbax)
@@ -9,6 +10,7 @@ __all__ = [
     "masked_mse_signal_approx",
     "snmf_pretrain_loss",
     "TrainConfig",
+    "TrainingDeadline",
     "train_model",
     "make_optimizer",
     "evaluate",

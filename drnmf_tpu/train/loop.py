@@ -79,6 +79,16 @@ def _save_train_state(path, epoch, params, opt_state, best_params, best_val,
     os.replace(tmp, path)
 
 
+class TrainingDeadline(RuntimeError):
+    """Raised at an epoch boundary when env ``DRNMF_TRAIN_DEADLINE_TS``
+    (a unix timestamp) has passed and elastic-resume state is on disk.
+
+    Long chip sessions behind the axon tunnel must never be killed
+    mid-step (a killed TPU client wedges the device for ~10 min); this
+    gives them a cooperative bound instead — the run aborts cleanly with
+    the state just saved, and a later invocation resumes exactly."""
+
+
 def train_state_incomplete(savefile, epochs, patience):
     """True if an elastic-resume state exists for ``savefile`` and the run
     it belongs to still has epochs to train (not early-stopped, epoch count
@@ -258,7 +268,10 @@ def evaluate(eval_step, params, data, batch_size=250, mesh=None):
         xb = x[start : start + batch_size]
         yb = y[start : start + batch_size]
         mb = mask[start : start + batch_size]
-        w = float(np.sum(mb[..., 0] if mb.ndim == 3 else mb))
+        # .sum() stays device-side when the split is device-resident (the
+        # old np.sum pulled the whole mask batch through the tunnel every
+        # epoch); for numpy inputs it is the same host reduction
+        w = float((mb[..., 0] if mb.ndim == 3 else mb).sum())
         xb, yb, mb = _shard_batch((xb, yb, mb), mesh)
         loss = float(eval_step(params, xb, yb, mb))
         total += loss * w
@@ -352,6 +365,19 @@ def train_model(
 
     x, y, mask = train_data
     n = x.shape[0]
+    if mesh is None and sum(
+        t.nbytes for t in (x, y, mask, *valid_data)
+    ) <= float(os.environ.get("DRNMF_DEVICE_DATA_MAX_BYTES", 2e9)):
+        # Device-resident splits (DESIGN §8): corpora up to ~2 GB fit HBM
+        # comfortably next to the model (full-CHiME2 train tensors are
+        # ~430 MB), so upload each split ONCE and let per-epoch batch
+        # "transfers" become device-side gathers over the shuffled index.
+        # Behind the axon tunnel the old per-epoch re-upload of every
+        # train batch plus the valid split (~2x corpus bytes per epoch)
+        # dominated small-corpus grid wall time.  Numerically identical;
+        # larger corpora keep the streaming double-buffered host path.
+        x, y, mask = jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)
+        valid_data = tuple(jnp.asarray(v) for v in valid_data)
     rng = np.random.default_rng(train_config.seed)
 
     best_val = np.inf
@@ -495,6 +521,13 @@ def train_model(
                                   finished=True,
                                   trainable_mask=trainable_mask)
             break
+
+        deadline = float(os.environ.get("DRNMF_TRAIN_DEADLINE_TS", "0"))
+        if (state_file and deadline and time.time() > deadline
+                and epoch + 1 < train_config.epochs):
+            raise TrainingDeadline(
+                f"training deadline passed at epoch {epoch + 1}/"
+                f"{train_config.epochs}; state saved — resume to continue")
 
     if train_config.epochs == 0 and savefile is not None:
         # reference quirk kept on purpose: epochs=0 snapshots initialization
