@@ -351,3 +351,49 @@ def test_resume_frozen_fingerprint_mismatch_raises(tmp_path, rng):
     with pytest.raises(ValueError, match="fingerprint"):
         train_model(bad_init, loss_fn, (x, y, mask), (x, y, mask), tc4,
                     trainable_mask=tmask, savefile=sf, resume=True)
+
+
+def test_training_deadline_aborts_cleanly_and_resumes(tmp_path, rng,
+                                                      monkeypatch):
+    """DRNMF_TRAIN_DEADLINE_TS in the past aborts at the first epoch
+    boundary with TrainingDeadline, leaving resume state on disk; a later
+    run without the deadline continues to the SAME final parameters as an
+    uninterrupted run (the chip-session self-bounding contract)."""
+    from drnmf_tpu.train import TrainingDeadline
+
+    n, t, f = 12, 6, 5
+    x = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    mask = np.ones((n, t), np.float32)
+    params0 = {"w": jnp.zeros((f, f), jnp.float32)}
+
+    def loss_fn(p, xb, yb, mb):
+        return jnp.mean((xb @ p["w"] - yb) ** 2)
+
+    def run(save, epochs):
+        return train_model(
+            dict(params0), loss_fn, (x, y, mask), (x, y, mask),
+            TrainConfig(epochs=epochs, batch_size=4, learning_rate=1e-2,
+                        verbose=False),
+            savefile=save, resume=True,
+        )
+
+    monkeypatch.delenv("DRNMF_TRAIN_DEADLINE_TS", raising=False)
+    full, _ = run(str(tmp_path / "full.npz"), 5)
+
+    monkeypatch.setenv("DRNMF_TRAIN_DEADLINE_TS", "1.0")  # long past
+    with pytest.raises(TrainingDeadline, match="epoch 1/5"):
+        run(str(tmp_path / "part.npz"), 5)
+    assert (tmp_path / "part.npz.train_state").exists()
+
+    # without a deadline (and NOT at the final epoch) the run is untouched
+    monkeypatch.delenv("DRNMF_TRAIN_DEADLINE_TS")
+    resumed, _ = run(str(tmp_path / "part.npz"), 5)
+    for k in full:
+        np.testing.assert_allclose(np.asarray(resumed[k]),
+                                   np.asarray(full[k]),
+                                   rtol=1e-6, atol=1e-7)
+
+    # a deadline on the LAST epoch does not raise (nothing left to bound)
+    monkeypatch.setenv("DRNMF_TRAIN_DEADLINE_TS", "1.0")
+    run(str(tmp_path / "part.npz"), 5)  # finished run: replays, no raise
