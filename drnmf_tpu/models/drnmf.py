@@ -83,8 +83,13 @@ class DRNMFConfig:
     # body so XLA amortizes per-iteration loop overhead and can pipeline
     # across timesteps.  Pure scheduling -- identical math and results at
     # any value; memory grows with the unrolled body.  T need not divide
-    # it (lax.scan handles the remainder).
-    scan_unroll: int = 1
+    # it (lax.scan handles the remainder).  Default 4: the win is in the
+    # BACKWARD pass (on-chip flagship profile, bench.py --profile-train:
+    # forward scan is flat at 3.8 ms for unroll 1/2/4, but the fused
+    # train step drops 35.6 -> 24.3 -> 20.0 ms; unroll 8 adds only
+    # 1.3 ms more while degrading the forward to 4.6 ms, so 4 is the
+    # default and 8 a config knob).
+    scan_unroll: int = 4
     # TPU matmul precision: 'default' runs the MXU in single-pass bf16
     # (fastest; measured flagship-model mask delta vs 'highest' is 1.7e-4
     # max / 2.6e-5 mean on [0,1] masks -- far inside the 0.1 dB SDR parity

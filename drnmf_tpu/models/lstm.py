@@ -26,6 +26,10 @@ class LSTMConfig:
     output_dim: int = 257
     K_layers: int = 2
     mask_value: float = -1.0
+    # lax.scan unroll for the recurrence: pure scheduling, identical math
+    # (same lever as DRNMFConfig.scan_unroll -- the measured win is
+    # backward-pass loop-overhead amortization, DESIGN §3b)
+    scan_unroll: int = 4
 
 
 def _glorot(key, shape):
@@ -67,7 +71,7 @@ def _hard_sigmoid(x):
     return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
 
 
-def _lstm_layer(wx, wh, b, x, step_mask):
+def _lstm_layer(wx, wh, b, x, step_mask, unroll=1):
     """x: (B, T, D) -> (B, T, N).  Masked steps hold (h, c)."""
     n = wh.shape[0]
     bsz = x.shape[0]
@@ -95,7 +99,7 @@ def _lstm_layer(wx, wh, b, x, step_mask):
         jnp.zeros((bsz, n), jnp.float32),
         jnp.zeros((bsz, n), jnp.float32),
     )
-    _, hs = jax.lax.scan(step, init, (zx, mT))
+    _, hs = jax.lax.scan(step, init, (zx, mT), unroll=max(1, unroll))
     return jnp.swapaxes(hs, 0, 1)
 
 
@@ -111,6 +115,7 @@ def lstm_apply(params: dict, config: LSTMConfig, x: jnp.ndarray) -> jnp.ndarray:
             params[f"lstm{layer}_b"],
             h,
             step_mask,
+            unroll=config.scan_unroll,
         )
     logits = (
         jnp.dot(h, params["dense_W"], preferred_element_type=jnp.float32)

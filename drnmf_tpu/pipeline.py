@@ -260,6 +260,7 @@ def drnmf_config_from_params(params_model, input_dim, mask_value=-1.0):
         fold_frozen_U=bool(params_model.get("fold_frozen_U", True)),
         factored_S=bool(params_model.get("factored_S", True)),
         remat=bool(params_model.get("remat", True)),
+        scan_unroll=int(params_model.get("scan_unroll", 4)),
     )
 
 
@@ -461,6 +462,7 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
             params_data.get("transform_x", "mag"),
             params_data.get("transform_y", "mag"),
         ),
+        scan_unroll=int(params_model.get("scan_unroll", 4)),
     )
     params = init_lstm_params(config)
 
