@@ -730,6 +730,33 @@ def bench_profile_train(bsz=32, maxlen=500, n_iter=20):
             jax.jit(lambda p, xx, s, _c=cfg_u: _scan_hidden(p, _c, xx, s)),
             params, x, sm)
 
+    # lever: rematerialization policy at the default unroll -- 'full'
+    # replays every step matmul in the backward; 'dots' saves dot outputs
+    # (recomputes only elementwise); 'none' stores all residuals
+    for name, kw in (("remat_dots", dict(remat_policy="dots")),
+                     ("noremat", dict(remat=False))):
+        cfg_r = dataclasses.replace(config, **kw)
+
+        def loss_r(p, xx, yy, mm, _c=cfg_r):
+            irm = drnmf_apply(p, _c, xx)
+            return masked_mse_signal_approx(irm, xx, yy, mm)
+
+        step_r = make_train_step(loss_r, opt)
+        p_r = {k: jnp.array(np.asarray(v), copy=True)
+               for k, v in params.items()}
+        s_r = opt.init(p_r)
+        try:
+            p_r, s_r, l = step_r(p_r, s_r, x, y, mask)
+            jax.block_until_ready(l)
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                p_r, s_r, l = step_r(p_r, s_r, x, y, mask)
+            jax.block_until_ready(l)
+            prof[f"train_step_{name}_ms"] = (
+                (time.perf_counter() - t0) / n_iter * 1e3)
+        except Exception as e:  # e.g. OOM storing all residuals
+            prof[f"train_step_{name}_ms"] = f"failed: {type(e).__name__}"
+
     prof = {k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in prof.items()}
     derived = {

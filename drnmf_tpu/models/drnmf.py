@@ -79,6 +79,14 @@ class DRNMFConfig:
     # 14.1 steps/s -> 19.5 with remat, vs 18.2 dense); no effect on
     # forward-only (inference) programs (measured 32-33k RTF either way).
     remat: bool = True
+    # what the checkpointed backward is allowed to KEEP from the forward:
+    # 'full' (default) recomputes everything per step (min memory, the
+    # backward replays each step's matmuls); 'dots' saves dot/matmul
+    # outputs and recomputes only elementwise ops
+    # (jax.checkpoint_policies.checkpoint_dots) -- trades ~T*(B,2r)-sized
+    # residuals for skipping the matmul replay.  Identical math either
+    # way; ignored when remat=False.
+    remat_policy: str = "full"  # 'full' | 'dots'
     # lax.scan unroll factor for the recurrence: >1 replicates the step
     # body so XLA amortizes per-iteration loop overhead and can pipeline
     # across timesteps.  Pure scheduling -- identical math and results at
@@ -473,7 +481,16 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
         return new_carry, new_carry
 
     if config.remat:
-        step = jax.checkpoint(step)
+        if config.remat_policy == "full":
+            policy = None
+        elif config.remat_policy == "dots":
+            policy = jax.checkpoint_policies.checkpoint_dots
+        else:
+            raise ValueError(
+                f"remat_policy must be 'full' or 'dots', "
+                f"got {config.remat_policy!r}"
+            )
+        step = jax.checkpoint(step, policy=policy)
     _, hs = jax.lax.scan(step, h_init, (xT, mT),
                          unroll=max(1, config.scan_unroll))
     return jnp.swapaxes(hs, 0, 1)  # (B, T, 2r) or (B, T, K*2r)

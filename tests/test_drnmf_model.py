@@ -317,28 +317,35 @@ def test_variational_dropout(rng):
 
 
 def test_remat_gradients_match(rng):
-    """jax.checkpoint'd scan step: identical loss and gradients, less
-    activation memory."""
+    """jax.checkpoint'd scan step (both rematerialization policies):
+    identical loss and gradients to the un-checkpointed backward."""
+    import dataclasses
     import jax
     import jax.numpy as jnp
     f, r = 9, 3
     w = make_dict(rng, f, 2 * r)
     x = jnp.asarray(rng.uniform(0.2, 1, (2, 12, f)).astype(np.float32))
     y = jnp.asarray(rng.uniform(0, 1, (2, 12, f)).astype(np.float32))
-    cfg = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2)
-    cfg_r = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2, remat=True)
-    p = init_drnmf_params(cfg, w)
+    cfg = DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2,
+                      remat=False)
 
     def loss(p, cfg):
         irm = drnmf_apply(p, cfg, x)
         return jnp.mean((irm * x - y) ** 2)
 
+    p = init_drnmf_params(cfg, w)
     l0, g0 = jax.value_and_grad(lambda p: loss(p, cfg))(p)
-    l1, g1 = jax.value_and_grad(lambda p: loss(p, cfg_r))(p)
-    assert float(l0) == float(l1)
-    for k in g0:
-        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
-                                   rtol=1e-6, atol=1e-7)
+    for policy in ("full", "dots"):
+        cfg_r = dataclasses.replace(cfg, remat=True, remat_policy=policy)
+        l1, g1 = jax.value_and_grad(lambda p: loss(p, cfg_r))(p)
+        assert float(l0) == float(l1), policy
+        for k in g0:
+            np.testing.assert_allclose(
+                np.asarray(g0[k]), np.asarray(g1[k]),
+                rtol=1e-6, atol=1e-7, err_msg=f"{policy}:{k}")
+    with pytest.raises(ValueError, match="remat_policy"):
+        bad = dataclasses.replace(cfg, remat=True, remat_policy="nope")
+        jax.value_and_grad(lambda p: loss(p, bad))(p)
 
 
 def test_frozen_u_fold_matches_dense(rng):
