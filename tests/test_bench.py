@@ -69,6 +69,34 @@ def test_ensure_backend_returns_devices():
     assert devs and devs[0].platform == "cpu"  # conftest pins cpu
 
 
+def test_bench_loop_modes_execute(monkeypatch, capsys):
+    """bench --loop's three dispatch arms (epoch fusion, device loss
+    accumulator, per-step fetch) all execute and report on CPU with a
+    tiny model (the numbers only mean something on the chip)."""
+    import numpy as np
+
+    def tiny():
+        import jax
+        from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
+
+        config = DRNMFConfig(input_dim=9, r=4, output_dim=9, K_layers=2,
+                             alph=10.0, lam1=0.5)
+        rng = np.random.default_rng(0)
+        w = rng.uniform(0.01, 1.0, (9, 8)).astype(np.float32)
+        w /= np.sqrt(np.sum(w**2, axis=0))
+        return config, jax.device_put(init_drnmf_params(config, w))
+
+    monkeypatch.setattr(bench, "_flagship", tiny)
+    res = bench.bench_loop(bsz=2, maxlen=12, n_steps=4)
+    assert res["metric"] == "train_loop_steps_per_second"
+    for k in ("value", "accumulate_steps_per_s",
+              "per_step_fetch_steps_per_s", "speedup_vs_per_step_fetch",
+              "speedup_vs_accumulate"):
+        assert res[k] > 0, k
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == res["value"]
+
+
 def test_profile_train_stage_attribution(monkeypatch, capsys):
     """bench --profile-train produces a complete attribution table whose
     component programs all execute (tiny model on CPU; the numbers only

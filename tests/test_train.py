@@ -321,6 +321,49 @@ def test_batch_history_matches_manual_replay(tmp_path, rng):
     assert got == expected  # bit-identical, not just close
 
 
+def test_epoch_fuse_matches_per_step_path(tmp_path, rng, monkeypatch):
+    """Epoch fusion (chunks of batches as ONE lax.scan program over the
+    device-resident split) trains identically to the per-step dispatch
+    loop: same per-batch history, same final params — including dropout
+    keys (fold_in(base_key, global_step) schedule), a ragged last batch,
+    and multiple chunks per epoch."""
+    import jax
+    import jax.numpy as jnp
+    from drnmf_tpu.train import TrainConfig, train_model
+
+    n, t, f = 11, 5, 4  # 11 % 4 = 3: ragged last batch
+    x = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    mask = np.ones((n, t), np.float32)
+    params0 = {"w": jnp.zeros((f, f), jnp.float32)}
+
+    def loss_fn(p, xb, yb, mb, key):
+        keep = jax.random.bernoulli(key, 0.8, xb.shape).astype(xb.dtype)
+        return jnp.mean(((xb * keep) @ p["w"] - yb) ** 2)
+
+    tc = TrainConfig(epochs=3, batch_size=4, learning_rate=1e-2,
+                     verbose=False)
+
+    def run(fuse):
+        monkeypatch.setenv("DRNMF_EPOCH_FUSE", "1" if fuse else "0")
+        monkeypatch.setenv("DRNMF_EPOCH_FUSE_CHUNK", "1")  # multi-chunk
+        best, hist = train_model(
+            dict(params0), loss_fn, (x, y, mask), (x, y, mask), tc,
+            eval_loss_fn=lambda p, xb, yb, mb: jnp.mean(
+                (xb @ p["w"] - yb) ** 2),
+            loss_takes_rng=True)
+        return best, hist.history["on_batch_end"]["loss"]
+
+    best_f, losses_f = run(True)
+    best_s, losses_s = run(False)
+    assert len(losses_f) == len(losses_s) == 3 * 3
+    np.testing.assert_allclose(losses_f, losses_s, rtol=1e-6, atol=1e-7)
+    for k in best_s:
+        np.testing.assert_allclose(np.asarray(best_f[k]),
+                                   np.asarray(best_s[k]),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_resume_frozen_fingerprint_mismatch_raises(tmp_path, rng):
     """Resuming with a different warm-start init than the original run
     fails loudly instead of silently mixing frozen values (ADVICE r2)."""
