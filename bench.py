@@ -785,7 +785,9 @@ def bench_profile_train(bsz=32, maxlen=500, n_iter=20):
             prof[f"train_step_{name}_ms"] = (
                 (time.perf_counter() - t0) / n_iter * 1e3)
         except Exception as e:  # e.g. OOM storing all residuals
-            prof[f"train_step_{name}_ms"] = f"failed: {type(e).__name__}"
+            tail = str(e).splitlines()[-1][:120] if str(e) else ""
+            prof[f"train_step_{name}_ms"] = (
+                f"failed: {type(e).__name__}: {tail}")
 
     prof = {k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in prof.items()}

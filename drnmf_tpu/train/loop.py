@@ -282,20 +282,9 @@ def make_epoch_chunk(loss_fn: Callable, optimizer, with_rng: bool = False):
 
         return body
 
-    if with_rng:
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def chunk(params, opt_state, x, y, mask, idx, step0, base_key):
-            body = body_factory(x, y, mask, step0, base_key)
-            steps = jnp.arange(idx.shape[0], dtype=jnp.int32)
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (idx, steps))
-            return params, opt_state, losses
-
-        return chunk
-
     @partial(jax.jit, donate_argnums=(0, 1))
-    def chunk(params, opt_state, x, y, mask, idx, step0):
-        body = body_factory(x, y, mask, step0, None)
+    def chunk(params, opt_state, x, y, mask, idx, step0, base_key=None):
+        body = body_factory(x, y, mask, step0, base_key)
         steps = jnp.arange(idx.shape[0], dtype=jnp.int32)
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), (idx, steps))
@@ -526,14 +515,22 @@ def train_model(
         n_batches = len(starts)
         bsz = train_config.batch_size
         if epoch_fuse:
-            # chunks of full batches as single scan programs; the ragged
-            # last batch (if any) runs through the per-step program
+            # chunks of full batches as single scan programs.  Every fused
+            # chunk has the SAME (S, B) shape so the chunk program compiles
+            # exactly once: small epochs run as one chunk of n_full; large
+            # epochs run uniform fuse_chunk-sized chunks and the leftover
+            # full batches (n_full % fuse_chunk) go through the per-step
+            # program (a handful of dispatches vs a second multi-minute
+            # XLA compile of the fused program behind the tunnel).  The
+            # ragged last batch (n % B), if any, is per-step as before.
             n_full = n // bsz
+            n_fused = (n_full if n_full <= fuse_chunk
+                       else (n_full // fuse_chunk) * fuse_chunk)
             parts = []
-            if n_full:
-                idx_all = order[: n_full * bsz].reshape(
-                    n_full, bsz).astype(np.int32)
-                for c0 in range(0, n_full, fuse_chunk):
+            if n_fused:
+                idx_all = order[: n_fused * bsz].reshape(
+                    n_fused, bsz).astype(np.int32)
+                for c0 in range(0, n_fused, fuse_chunk):
                     idx_c = jnp.asarray(idx_all[c0 : c0 + fuse_chunk])
                     args = (params, opt_state, x, y, mask, idx_c,
                             jnp.int32(global_step))
@@ -543,6 +540,19 @@ def train_model(
                         params, opt_state, losses = chunk_fn(*args)
                     parts.append(losses)
                     global_step += int(idx_c.shape[0])
+            for bi in range(n_fused, n_full):  # leftover FULL batches
+                idx_b = order[bi * bsz : (bi + 1) * bsz]
+                batch = (x[idx_b], y[idx_b], mask[idx_b])
+                if loss_takes_rng:
+                    key = jax.random.fold_in(base_key, global_step)
+                    params, opt_state, loss_buf = step_fn(
+                        params, opt_state, loss_buf, np.int32(0), *batch,
+                        key)
+                else:
+                    params, opt_state, loss_buf = step_fn(
+                        params, opt_state, loss_buf, np.int32(0), *batch)
+                global_step += 1
+                parts.append(loss_buf[:1])
             if n % bsz:
                 idx_rem = order[n_full * bsz :]
                 batch = (x[idx_rem], y[idx_rem], mask[idx_rem])

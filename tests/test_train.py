@@ -331,7 +331,9 @@ def test_epoch_fuse_matches_per_step_path(tmp_path, rng, monkeypatch):
     import jax.numpy as jnp
     from drnmf_tpu.train import TrainConfig, train_model
 
-    n, t, f = 11, 5, 4  # 11 % 4 = 3: ragged last batch
+    # 15 = 3 full batches of 4 (chunk=2 -> one fused 2-step scan + one
+    # leftover full batch through the per-step program) + a ragged batch
+    n, t, f = 15, 5, 4
     x = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
     y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
     mask = np.ones((n, t), np.float32)
@@ -345,8 +347,10 @@ def test_epoch_fuse_matches_per_step_path(tmp_path, rng, monkeypatch):
                      verbose=False)
 
     def run(fuse):
+        # chunk=2: 2 full batches per epoch fuse into ONE 2-step scan
+        # (exercising the intra-chunk key schedule at scan index i>0)
         monkeypatch.setenv("DRNMF_EPOCH_FUSE", "1" if fuse else "0")
-        monkeypatch.setenv("DRNMF_EPOCH_FUSE_CHUNK", "1")  # multi-chunk
+        monkeypatch.setenv("DRNMF_EPOCH_FUSE_CHUNK", "2")
         best, hist = train_model(
             dict(params0), loss_fn, (x, y, mask), (x, y, mask), tc,
             eval_loss_fn=lambda p, xb, yb, mb: jnp.mean(
@@ -356,7 +360,7 @@ def test_epoch_fuse_matches_per_step_path(tmp_path, rng, monkeypatch):
 
     best_f, losses_f = run(True)
     best_s, losses_s = run(False)
-    assert len(losses_f) == len(losses_s) == 3 * 3
+    assert len(losses_f) == len(losses_s) == 3 * 4
     np.testing.assert_allclose(losses_f, losses_s, rtol=1e-6, atol=1e-7)
     for k in best_s:
         np.testing.assert_allclose(np.asarray(best_f[k]),
