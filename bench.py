@@ -760,10 +760,12 @@ def bench_profile_train(bsz=32, maxlen=500, n_iter=20):
             jax.jit(lambda p, xx, s, _c=cfg_u: _scan_hidden(p, _c, xx, s)),
             params, x, sm)
 
-    # lever: rematerialization policy at the default unroll -- 'full'
-    # replays every step matmul in the backward; 'dots' saves dot outputs
-    # (recomputes only elementwise); 'none' stores all residuals
-    for name, kw in (("remat_dots", dict(remat_policy="dots")),
+    # lever: rematerialization policy at the default unroll (the default
+    # config resolves 'auto' -> store-all at this shape) -- 'full' replays
+    # every step matmul in the backward; 'dots' saves dot outputs
+    # (recomputes only elementwise); 'noremat' stores all residuals
+    for name, kw in (("remat_full", dict(remat_policy="full")),
+                     ("remat_dots", dict(remat_policy="dots")),
                      ("noremat", dict(remat=False))):
         cfg_r = dataclasses.replace(config, **kw)
 

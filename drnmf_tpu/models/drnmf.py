@@ -35,6 +35,7 @@ TPU-first design:
   semantics) hold the carried state.
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -80,13 +81,20 @@ class DRNMFConfig:
     # forward-only (inference) programs (measured 32-33k RTF either way).
     remat: bool = True
     # what the checkpointed backward is allowed to KEEP from the forward:
-    # 'full' (default) recomputes everything per step (min memory, the
-    # backward replays each step's matmuls); 'dots' saves dot/matmul
-    # outputs and recomputes only elementwise ops
-    # (jax.checkpoint_policies.checkpoint_dots) -- trades ~T*(B,2r)-sized
-    # residuals for skipping the matmul replay.  Identical math either
-    # way; ignored when remat=False.
-    remat_policy: str = "full"  # 'full' | 'dots'
+    # 'full' recomputes everything per step (min memory, the backward
+    # replays each step's matmuls); 'dots' saves dot/matmul outputs and
+    # recomputes only elementwise ops
+    # (jax.checkpoint_policies.checkpoint_dots); 'none' stores every
+    # per-step residual (max memory, no recompute); 'auto' (default)
+    # resolves per program at trace time from the closed-form residual
+    # bound ``scan_residual_bytes``: 'none' when store-all residuals fit
+    # the DRNMF_REMAT_AUTO_BUDGET_BYTES budget (default 4 GB -- a quarter
+    # of a v5e's HBM), else 'full'.  Identical math at every setting
+    # (on-chip flagship profile B=32/T=500, bench.py --profile-train:
+    # full 20.0 ms/step, dots 17.8, none 16.8 with a ~2.3 GB residual
+    # bound -- auto banks the 16% without risking OOM at larger shapes).
+    # Ignored when remat=False.
+    remat_policy: str = "auto"  # 'auto' | 'none' | 'full' | 'dots'
     # lax.scan unroll factor for the recurrence: >1 replicates the step
     # body so XLA amortizes per-iteration loop overhead and can pipeline
     # across timesteps.  Pure scheduling -- identical math and results at
@@ -405,6 +413,27 @@ def _precision(config: DRNMFConfig):
             "highest": jax.lax.Precision.HIGHEST}[config.matmul_precision]
 
 
+def scan_residual_bytes(config: DRNMFConfig, bsz: int, T: int) -> int:
+    """Closed-form upper bound on the f32 residuals the un-rematerialized
+    scan backward stores across T timesteps: per step the K pre-activation
+    and K hidden tensors, the K recurrent/skip input terms (each (B, 2r)),
+    plus carry/output bookkeeping (~3 more (B, 2r)) and the (B, F) input
+    term.  Flagship (K=5, B=32, T=500, 2r=2000): ~2.3 GB."""
+    per_step = bsz * ((3 * config.K_layers + 3) * config.hidden_dim
+                      + config.input_dim)
+    return 4 * per_step * T
+
+
+def resolve_remat_policy(config: DRNMFConfig, bsz: int, T: int) -> str:
+    """Resolve 'auto' to a concrete policy at trace time: 'none'
+    (store-all, no backward recompute) when the residual bound fits the
+    DRNMF_REMAT_AUTO_BUDGET_BYTES budget, else 'full'."""
+    if config.remat_policy != "auto":
+        return config.remat_policy
+    budget = float(os.environ.get("DRNMF_REMAT_AUTO_BUDGET_BYTES", 4e9))
+    return "none" if scan_residual_bytes(config, bsz, T) <= budget else "full"
+
+
 def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
                  step_mask: jnp.ndarray, rng=None,
                  training: bool = False) -> jnp.ndarray:
@@ -481,16 +510,17 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
         return new_carry, new_carry
 
     if config.remat:
-        if config.remat_policy == "full":
-            policy = None
-        elif config.remat_policy == "dots":
-            policy = jax.checkpoint_policies.checkpoint_dots
-        else:
+        policy_name = resolve_remat_policy(config, bsz, xT.shape[0])
+        if policy_name == "full":
+            step = jax.checkpoint(step)
+        elif policy_name == "dots":
+            step = jax.checkpoint(
+                step, policy=jax.checkpoint_policies.checkpoint_dots)
+        elif policy_name != "none":
             raise ValueError(
-                f"remat_policy must be 'full' or 'dots', "
+                f"remat_policy must be 'auto', 'none', 'full' or 'dots', "
                 f"got {config.remat_policy!r}"
             )
-        step = jax.checkpoint(step, policy=policy)
     _, hs = jax.lax.scan(step, h_init, (xT, mT),
                          unroll=max(1, config.scan_unroll))
     return jnp.swapaxes(hs, 0, 1)  # (B, T, 2r) or (B, T, K*2r)

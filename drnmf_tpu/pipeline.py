@@ -260,7 +260,7 @@ def drnmf_config_from_params(params_model, input_dim, mask_value=-1.0):
         fold_frozen_U=bool(params_model.get("fold_frozen_U", True)),
         factored_S=bool(params_model.get("factored_S", True)),
         remat=bool(params_model.get("remat", True)),
-        remat_policy=params_model.get("remat_policy", "full"),
+        remat_policy=params_model.get("remat_policy", "auto"),
         scan_unroll=int(params_model.get("scan_unroll", 4)),
     )
 

@@ -335,7 +335,7 @@ def test_remat_gradients_match(rng):
 
     p = init_drnmf_params(cfg, w)
     l0, g0 = jax.value_and_grad(lambda p: loss(p, cfg))(p)
-    for policy in ("full", "dots"):
+    for policy in ("full", "dots", "none", "auto"):
         cfg_r = dataclasses.replace(cfg, remat=True, remat_policy=policy)
         l1, g1 = jax.value_and_grad(lambda p: loss(p, cfg_r))(p)
         assert float(l0) == float(l1), policy
@@ -346,6 +346,30 @@ def test_remat_gradients_match(rng):
     with pytest.raises(ValueError, match="remat_policy"):
         bad = dataclasses.replace(cfg, remat=True, remat_policy="nope")
         jax.value_and_grad(lambda p: loss(p, bad))(p)
+
+
+def test_remat_auto_resolution(monkeypatch):
+    """'auto' picks store-all when the closed-form residual bound fits the
+    budget and falls back to full remat when it does not; explicit
+    policies pass through untouched."""
+    from drnmf_tpu.models.drnmf import (
+        resolve_remat_policy, scan_residual_bytes)
+
+    cfg = DRNMFConfig(input_dim=257, r=1000, output_dim=257, K_layers=5)
+    # flagship parity shape: the bound is ~2.3 GB -- under the 4 GB default
+    bound = scan_residual_bytes(cfg, 32, 500)
+    assert 1e9 < bound < 4e9
+    assert resolve_remat_policy(cfg, 32, 500) == "none"
+    # a shape past the budget (10x the batch) falls back to full remat
+    assert resolve_remat_policy(cfg, 320, 500) == "full"
+    # the budget is an env knob
+    monkeypatch.setenv("DRNMF_REMAT_AUTO_BUDGET_BYTES", "1")
+    assert resolve_remat_policy(cfg, 2, 4) == "full"
+    monkeypatch.delenv("DRNMF_REMAT_AUTO_BUDGET_BYTES")
+    for explicit in ("none", "full", "dots"):
+        import dataclasses
+        cfg_e = dataclasses.replace(cfg, remat_policy=explicit)
+        assert resolve_remat_policy(cfg_e, 32, 500) == explicit
 
 
 def test_frozen_u_fold_matches_dense(rng):
