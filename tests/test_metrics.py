@@ -939,3 +939,33 @@ def test_scoring_single_pair_alignment(rng, tmp_path):
     want = _score_pair(est[: len(est) - d], ref[: len(ref) - d], 16000)
     np.testing.assert_allclose(S1[0], want, rtol=0.05, atol=0.25)
     assert S1[0][2] > S0[0][2] + 0.5  # SegSNR gains from compensation
+
+
+def test_sharded_engine_matches_single_device(rng):
+    """score_all_sharded over the 8-device CPU mesh equals the
+    single-device engine on every column -- the mesh analog of the
+    reference's parfor file pool (score_audio.m:72-98): rows split over
+    devices, no collectives.  The battery spans two pow2 buckets, one
+    with more rows than devices and one with fewer (exercising dummy-row
+    padding), plus a near-rank-deficient sine pair (exercising the
+    sharded ridge-escalation retry rounds)."""
+    from drnmf_tpu.metrics.engine import score_all_packed
+    from drnmf_tpu.metrics.sharded import score_all_sharded
+    from drnmf_tpu.parallel import make_mesh
+
+    ests, refs = _engine_battery(rng)
+    t = np.arange(11000)
+    sine = (0.1 * np.sin(2 * np.pi * 440.0 * t / 16000)).astype(np.float32)
+    refs.append(sine)
+    ests.append(sine + 0.05 * rng.standard_normal(len(sine))
+                .astype(np.float32))
+    for i in range(6):
+        r = _speechlike(rng, 7000 + 931 * i)
+        refs.append(r)
+        ests.append(r + 0.1 * rng.standard_normal(len(r))
+                    .astype(np.float32))
+
+    S1, d1 = score_all_packed(ests, refs, 16000)
+    S2, d2 = score_all_sharded(ests, refs, make_mesh(8), fs=16000)
+    np.testing.assert_array_equal(d2, d1)
+    np.testing.assert_allclose(S2, S1, rtol=1e-5, atol=1e-5)
