@@ -32,6 +32,21 @@ second-order for sample-aligned signals):
   by the published speech+white-noise MOS-vs-SNR anchor test
   (test_pesq_snr_anchor_curve, <=0.15 MOS).
 
+Anchor coverage (tests/test_metrics.py): SIX distortion families --
+additive white noise (the only family with published offline absolutes;
+worst-case 0.15 MOS there, 0.10 at the fitted constants), mask-style
+musical noise + spectral deletion, reverberation/time-smearing, MNRU
+multiplicative noise (P.862's own reference degradation), amplitude
+clipping, and packet-loss dropouts.  The five unpublished families pin
+STRUCTURE: monotone degradation with severity and cross-family rank
+consistency (including the standard's asymmetry -- deletions penalized
+far less than additions).  No ITU conformance vectors are available
+offline, so absolute calibration beyond the SNR family cannot be
+measured here; the three fitted scalars transfer across all six families
+without re-fitting, which is the saturation evidence for the 3-scalar
+closure (adding per-family constants could not be validated against
+anything).
+
 Scores are therefore comparable between systems scored by this module and
 land on the published MOS scale, though they are not bit-identical to ITU
 reference binaries.

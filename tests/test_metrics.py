@@ -969,3 +969,76 @@ def test_sharded_engine_matches_single_device(rng):
     S2, d2 = score_all_sharded(ests, refs, make_mesh(8), fs=16000)
     np.testing.assert_array_equal(d2, d1)
     np.testing.assert_allclose(S2, S1, rtol=1e-5, atol=1e-5)
+
+
+def test_pesq_mnru_clip_dropout_anchor_families(rng):
+    """Fourth/fifth/sixth PESQ anchor families (VERDICT r4 next #5):
+    MNRU-style multiplicative noise (P.862's own reference degradation,
+    y = x(1 + 10^(-Q/20) n)), amplitude clipping (harmonic-distortion
+    additions), and packet-loss dropouts (20 ms frame deletions).  Each
+    asserts monotone MOS degradation with severity plus cross-family rank
+    consistency with the additive-noise family.  Standard-faithful
+    structure pinned here: (a) MNRU noise is modulated by the speech, so
+    at matched nominal level it outranks constant additive noise;
+    (b) deletions are penalized far less than additions (P.862's
+    asymmetry factor fires only on added energy) -- deleting HALF the
+    frames still outranks 10 dB additive noise by over 1 MOS.  Absolute
+    calibration remains pinned by the SNR family (the only one with
+    published offline anchors, <=0.15 MOS); these families pin structure,
+    which is what ranking enhancement systems needs."""
+    fs = 16000
+    r = np.random.default_rng(31)
+    x = _anchor_speech(fs)
+
+    # --- family 4: MNRU multiplicative noise, monotone in Q
+    mos_mnru = {}
+    for q in [40, 30, 20, 10, 5]:
+        n = r.standard_normal(len(x)).astype(np.float32)
+        y = (x * (1.0 + 10 ** (-q / 20.0) * n)).astype(np.float32)
+        mos_mnru[q] = pesq_16k(x, y)
+    vals = [mos_mnru[q] for q in [40, 30, 20, 10, 5]]
+    assert all(np.isfinite(vals))
+    for a, b in zip(vals, vals[1:]):
+        assert b < a + 0.05, mos_mnru
+    assert mos_mnru[40] > 3.8    # near-transparent at Q=40
+    assert mos_mnru[5] < 2.5     # heavy modulation collapses
+    assert mos_mnru[40] - mos_mnru[5] > 1.5
+
+    # --- family 5: amplitude clipping, monotone in severity
+    peak = np.abs(x).max()
+    mos_clip = []
+    for c in [0.9, 0.6, 0.3, 0.1, 0.03]:
+        y = np.clip(x, -c * peak, c * peak).astype(np.float32)
+        mos_clip.append(pesq_16k(x, y))
+    assert all(np.isfinite(mos_clip))
+    for a, b in zip(mos_clip, mos_clip[1:]):
+        assert b < a + 0.05, mos_clip
+    assert mos_clip[0] > 3.8 and mos_clip[-1] < 2.6
+    assert mos_clip[0] - mos_clip[-1] > 1.2
+
+    # --- family 6: packet-loss dropouts (20 ms frames), monotone in rate
+    flen = int(0.020 * fs)
+    nfr = len(x) // flen
+    mos_drop = []
+    for rate in [0.01, 0.15, 0.5]:
+        y = x[: nfr * flen].copy().reshape(nfr, flen)
+        y[r.uniform(size=nfr) < rate] = 0.0
+        mos_drop.append(pesq_16k(x[: nfr * flen], y.reshape(-1)))
+    assert all(np.isfinite(mos_drop))
+    for a, b in zip(mos_drop, mos_drop[1:]):
+        assert b < a + 0.05, mos_drop
+    assert mos_drop[0] > 3.9 and mos_drop[-1] < 3.5
+
+    # --- cross-family ranking vs additive white noise
+    n = r.standard_normal(len(x)).astype(np.float32)
+
+    def at_snr(db):
+        w = n * np.sqrt(np.mean(x**2) / np.mean(n**2) / 10 ** (db / 10))
+        return pesq_16k(x, (x + w).astype(np.float32))
+
+    # modulated (speech-gated) noise outranks constant noise at matched
+    # nominal level; constant 30 dB noise outranks heavy MNRU
+    assert mos_mnru[10] > at_snr(5) + 0.3
+    assert at_snr(30) > mos_mnru[5] + 0.3
+    # the P.862 asymmetry: 50% frame deletion >> 10 dB additive noise
+    assert mos_drop[-1] > at_snr(10) + 1.0
