@@ -416,3 +416,105 @@ class StreamingEnhancer:
             if out.size:
                 outs.append(out[:deficit])
         return np.concatenate(outs) if outs else np.zeros(0, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# server-internal paced-load harness
+# ---------------------------------------------------------------------------
+
+def paced_load(multi, seconds: float = 20.0, fs: int = 16000,
+               gather_frac: float = 0.25, seed: int = 7654):
+    """Paced real-time load generated INSIDE the calling process: no
+    sockets, no per-client threads or processes.
+
+    The round-4 paced TCP harness was invalid on a 1-vCPU host -- 8
+    client processes plus the server cannot share one core, so the
+    CLIENTS missed the 128 ms capture schedule and the measurement
+    blamed the server (RESULTS.md round-4 SLO caveat; VERDICT r4 next
+    #9).  Here arrival times are COMPUTED from each stream's capture
+    schedule (stream i's block k is fully captured at
+    ``t0 + phase_i + (k+1) * block_dur``) instead of delivered through
+    the OS, so the only wall-clock consumers are this loop and the
+    device step -- the quantity under test.  The batching policy
+    replicates the event-loop server's coordinator
+    (scripts/serve.py SelectorStreamServer): step as soon as every live
+    stream has a block, else wait up to ``gather_frac`` blocks for
+    near-simultaneous arrivals, one block per stream per step, backlogged
+    streams catch up one block per step.
+
+    Returns (lat, taken): ``lat[i]`` is stream i's per-block reply
+    latency list in seconds (completion wall time minus the block's
+    capture time), ``taken[i]`` the number of blocks served.
+    """
+    import time
+
+    S = multi.n_streams
+    blk = multi.block_samples
+    block_dur = blk / fs
+    n_blocks = max(2, int(round(seconds / block_dur)))
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0.0, block_dur, S)
+    chunks = 0.1 * rng.standard_normal((S, blk)).astype(np.float32)
+
+    # compile + latency fill OUTSIDE the paced clock
+    multi.step(chunks, np.ones(S, bool))
+    multi.step(chunks)
+
+    taken = np.zeros(S, np.int64)
+    lat = [[] for _ in range(S)]
+    t0 = time.monotonic() + 0.01
+
+    def arrival(i, k):
+        return t0 + phase[i] + (k + 1) * block_dur
+
+    deadline = None
+    while np.any(taken < n_blocks):
+        now = time.monotonic()
+        avail = np.floor((now - t0 - phase) / block_dur).astype(np.int64)
+        avail = np.minimum(avail, n_blocks)
+        live = taken < n_blocks
+        ready = (avail > taken) & live
+        if not ready.any():
+            deadline = None
+            nxt = min(arrival(i, taken[i]) for i in np.nonzero(live)[0])
+            time.sleep(max(0.0, min(nxt - time.monotonic(), 0.25)))
+            continue
+        if ready.sum() < live.sum():
+            # the server's gather window: near-simultaneous arrivals ride
+            # ONE full-batch step instead of splitting across two
+            if deadline is None:
+                deadline = now + gather_frac * block_dur
+            if now < deadline:
+                time.sleep(min(2e-3, deadline - now))
+                continue
+        deadline = None
+        active = ready.copy()
+        multi.step(chunks, active)
+        done_t = time.monotonic()
+        for i in np.nonzero(active)[0]:
+            lat[i].append(done_t - arrival(i, int(taken[i])))
+            taken[i] += 1
+    return lat, taken
+
+
+def paced_stats(lat, block_dur: float):
+    """Summary of :func:`paced_load` latencies: percentiles (ms), mean
+    drift between the 2nd and last quarter of each stream's run (ms --
+    positive = falling behind), and whether the load keeps up (latency
+    stationary to within a quarter block)."""
+    all_lat = np.concatenate([np.asarray(v[1:]) for v in lat if len(v) > 1])
+    p50, p95, p99 = np.percentile(all_lat, [50, 95, 99]) * 1e3
+    drifts = []
+    for v in lat:
+        a = np.asarray(v[1:])
+        q = len(a) // 4
+        if q >= 1:
+            drifts.append(a[-q:].mean() - a[q : 2 * q].mean())
+    drift = float(np.mean(drifts)) * 1e3 if drifts else 0.0
+    return {
+        "p50_ms": round(float(p50), 1),
+        "p95_ms": round(float(p95), 1),
+        "p99_ms": round(float(p99), 1),
+        "drift_ms_per_quarter": round(drift, 1),
+        "keeps_up": bool(drift < 0.25 * block_dur * 1e3),
+    }

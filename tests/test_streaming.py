@@ -896,3 +896,40 @@ def test_serve_selector_halfclose_backpressured_flush_reply():
         th.join(timeout=15)
         srv.close()
     assert not err, err
+
+
+def test_paced_load_internal_stub():
+    """paced_load (server-internal paced SLO harness: computed arrival
+    schedules, no client threads/processes) against a stub enhancer:
+    every stream's every block is served exactly once, one block per
+    stream per step, and reply latencies are positive and bounded.
+    Timing bounds are deliberately loose -- this host has 1 vCPU and
+    tests share it -- the on-chip numbers come from bench --paced-slo."""
+    import time
+
+    from drnmf_tpu.streaming import paced_load, paced_stats
+
+    calls = []
+
+    class Stub:
+        n_streams = 4
+        block_samples = 1024  # 64 ms at 16 kHz
+
+        def step(self, samples, active=None):
+            if active is None:
+                active = np.ones(self.n_streams, bool)
+            calls.append(np.asarray(active).copy())
+            time.sleep(0.002)
+            return [samples[i] if active[i] else None
+                    for i in range(self.n_streams)]
+
+    lat, taken = paced_load(Stub(), seconds=1.5, fs=16000)
+    n_blocks = int(round(1.5 / (1024 / 16000.0)))
+    assert list(taken) == [n_blocks] * 4
+    assert all(len(v) == n_blocks for v in lat)
+    assert all(x > 0 for v in lat for x in v)  # replies after capture
+    st = paced_stats(lat, 1024 / 16000.0)
+    assert st["p50_ms"] < 128.0  # ~gather(16) + step(2) in the quiet case
+    assert st["blocks_served"] if "blocks_served" in st else True
+    # paced (not full-speed): far fewer steps than S * n_blocks
+    assert 2 < len(calls) - 2 <= 4 * n_blocks
