@@ -844,6 +844,42 @@ def bench_profile_train(bsz=32, maxlen=500, n_iter=20):
             prof[f"train_step_{name}_ms"] = (
                 f"failed: {type(e).__name__}: {tail}")
 
+    # attribution probe: grad w.r.t. the INPUT only -- XLA drops the
+    # parameter-gradient accumulations, leaving the sequential delta chain
+    # (+ forward).  grad_ms - this = the cost of accumulating weight grads
+    # through the scan, the part the batched-T backward batches.
+    prof["grad_wrt_x_ms"] = timeit(
+        jax.jit(jax.grad(loss_fn, argnums=1)), params, x, y, mask)
+
+    # lever: batched-T backward (models/batched_grad.py) -- sequential
+    # delta chain only in the reverse scan, every weight gradient as ONE
+    # T*B-contraction matmul (VERDICT r4 next #3 'batched-T layout')
+    for u in (1, config.scan_unroll):
+        cfg_bg = dataclasses.replace(config, batched_grad=True,
+                                     scan_unroll=u)
+
+        def loss_bg(p, xx, yy, mm, _c=cfg_bg):
+            irm = drnmf_apply(p, _c, xx)
+            return masked_mse_signal_approx(irm, xx, yy, mm)
+
+        step_bg = make_train_step(loss_bg, opt)
+        p_b = {k: jnp.array(np.asarray(v), copy=True)
+               for k, v in params.items()}
+        s_b = opt.init(p_b)
+        try:
+            p_b, s_b, l = step_bg(p_b, s_b, x, y, mask)
+            jax.block_until_ready(l)
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                p_b, s_b, l = step_bg(p_b, s_b, x, y, mask)
+            jax.block_until_ready(l)
+            prof[f"train_step_batched_grad_u{u}_ms"] = (
+                (time.perf_counter() - t0) / n_iter * 1e3)
+        except Exception as e:
+            tail = str(e).splitlines()[-1][:120] if str(e) else ""
+            prof[f"train_step_batched_grad_u{u}_ms"] = (
+                f"failed: {type(e).__name__}: {tail}")
+
     prof = {k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in prof.items()}
     derived = {
@@ -889,11 +925,34 @@ def bench_snmf():
     t0 = time.perf_counter()
     res = sparse_nmf(v, params, device_output=True)
     per_iter = (time.perf_counter() - t0) / n_iter
+
+    # Pallas MU kernel A/B (VERDICT r4 next #8 'win or close'): the
+    # round-5 kernel casts MXU inputs to bf16 (the XLA core's effective
+    # DEFAULT-precision class; the round-4 kernel paid multi-pass f32
+    # matmuls) -- sweep frame-tile sizes
+    pallas = {}
+    p_params = SNMFParams(r=r2, cf="ed", sparsity=1.0, max_iter=n_iter,
+                          conv_eps=0.0, random_seed=2016, use_pallas=True)
+    for tn in (128, 256):
+        os.environ["DRNMF_PALLAS_MU_TN"] = str(tn)
+        try:
+            sparse_nmf(v, p_params, device_output=True)  # compile + run
+            t0 = time.perf_counter()
+            sparse_nmf(v, p_params, device_output=True)
+            pallas[f"pallas_bf16_tn{tn}_iters_per_s"] = round(
+                n_iter / (time.perf_counter() - t0), 2)
+        except Exception as e:
+            tail = str(e).splitlines()[-1][:120] if str(e) else ""
+            pallas[f"pallas_bf16_tn{tn}_iters_per_s"] = (
+                f"failed: {type(e).__name__}: {tail}")
+    os.environ.pop("DRNMF_PALLAS_MU_TN", None)
+
     print(json.dumps({
         "metric": "snmf_mu_iterations_per_second",
         "value": round(1.0 / per_iter, 2),
         "unit": "iters_per_s",
         "seconds_for_1000_iter_dictionary": round(per_iter * 1000, 1),
+        **pallas,
     }))
 
 

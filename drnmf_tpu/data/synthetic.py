@@ -45,18 +45,34 @@ def _synthetic_noise(rng, n, fs):
     return (shaped / (np.std(shaped) + 1e-9)).astype(np.float32)
 
 
+def wsj0_like_lengths(rng, n_files, min_sec=2.5, max_sec=16.0):
+    """Utterance lengths (seconds) with a WSJ0-si_tr_s-like distribution:
+    read sentences, lognormal around ~7 s, clipped to [2.5, 16] -- used by
+    the full-scale shakeout so the length-bucketed featurizer and maxlen
+    chunker see a realistic mix, not uniform lengths."""
+    secs = np.exp(rng.normal(np.log(7.0), 0.35, n_files))
+    return np.clip(secs, min_sec, max_sec)
+
+
 def make_synthetic_corpus(root, n_files=12, fs=16000, seed=2016,
-                          min_sec=0.6, max_sec=2.0):
-    """Create wavs + taskfiles.  Returns dict of taskfile paths."""
+                          min_sec=0.6, max_sec=2.0, lengths=None,
+                          verbose_every=0):
+    """Create wavs + taskfiles.  Returns dict of taskfile paths.
+
+    ``lengths``: optional per-file durations in seconds (overrides the
+    uniform [min_sec, max_sec] draw) -- see :func:`wsj0_like_lengths`."""
     from ..dsp import wavwrite
 
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     noisy_list, clean_list = [], []
     for i in range(n_files):
+        if verbose_every and i % verbose_every == 0:
+            print(f"  [corpus] {i}/{n_files}", flush=True)
         snr_dir = SNR_DIRS[i % len(SNR_DIRS)]
         snr_db = _SNR_DB[snr_dir]
-        n = int(fs * rng.uniform(min_sec, max_sec))
+        n = int(fs * (lengths[i] if lengths is not None
+                      else rng.uniform(min_sec, max_sec)))
         clean = _synthetic_speech(rng, n, fs)
         noise = _synthetic_noise(rng, n, fs)
         # scale noise for the target SNR

@@ -106,6 +106,18 @@ class DRNMFConfig:
     # 1.3 ms more while degrading the forward to 4.6 ms, so 4 is the
     # default and 8 a config knob).
     scan_unroll: int = 4
+    # Batched-T backward (models/batched_grad.py): replace autodiff's
+    # through-the-scan parameter-gradient accumulation (per-timestep
+    # matmuls contracting over the 32-row batch -- 1/4-occupied MXU
+    # tiles) with a custom VJP that runs only the sequential delta chain
+    # in the reverse scan and computes every weight gradient as ONE
+    # T*B-contraction matmul.  Identical forward numerics; gradient
+    # parity pinned by tests.  Applies to the production path (relu,
+    # connect_input, frozen-U fold + factored S); other configurations
+    # fall back to autodiff.  Residual memory is the (T, K, B, 2r)
+    # hidden+delta stacks; the router falls back to remat autodiff when
+    # that exceeds DRNMF_BATCHED_GRAD_BUDGET_BYTES (default 4 GB).
+    batched_grad: bool = False
     # TPU matmul precision: 'default' runs the MXU in single-pass bf16
     # (fastest; measured flagship-model mask delta vs 'highest' is 1.7e-4
     # max / 2.6e-5 mean on [0,1] masks -- far inside the 0.1 dB SDR parity
@@ -486,6 +498,24 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
 
     xT = jnp.swapaxes(x, 0, 1)  # (T, B, F)
     mT = jnp.swapaxes(step_mask, 0, 1)  # (T, B)
+
+    if (config.batched_grad and plain and isinstance(U, FoldedU)
+            and config.connect_input_to_layers
+            and (K == 1 or isinstance(S[0], tuple))):
+        from .batched_grad import (batched_grad_residual_bytes,
+                                   scan_plain_batched)
+
+        budget = float(os.environ.get("DRNMF_BATCHED_GRAD_BUDGET_BYTES",
+                                      4e9))
+        if batched_grad_residual_bytes(
+                bsz, xT.shape[0], config.hidden_dim, K) <= budget:
+            hs = scan_plain_batched(
+                (K, max(1, config.scan_unroll), _precision(config)),
+                (U.diag1, U.off1, U.c),
+                [s[0] for s in S], [s[1] for s in S], W[0], list(b),
+                h_init, xT,
+                jax.lax.stop_gradient(mT.astype(jnp.float32)))
+            return jnp.swapaxes(hs, 0, 1)
 
     if config.return_all_hidden:
         # carry = concat of all K layers' hidden; the recurrent input is the

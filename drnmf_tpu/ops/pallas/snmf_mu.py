@@ -48,40 +48,53 @@ _TN = 128  # frames per tile: the 16 MB VMEM budget (W + A/B scratch are
 # spills to HBM and is 2.5x slower still -- v5e scoped VMEM is the real cap.
 _VMEM_LIMIT = 16 * 1024 * 1024
 
+# bf16 MXU inputs (f32 accumulation) for the kernel's matmuls.  The XLA
+# core this kernel competes with runs at jax's DEFAULT matmul precision --
+# single-pass bf16 MXU inputs -- while an explicit f32 Pallas dot pays the
+# multi-pass f32 decomposition: the round-4 kernel was comparing ~6-pass
+# matmuls against 1-pass ones.  True = match the XLA core's effective
+# precision (and its numerics class); False = the round-4 exact-f32 path.
+_MXU_BF16_DEFAULT = True
 
-def _dotT_lhs(a, b):
+
+def _mxu(x, bf16):
+    return x.astype(jnp.bfloat16) if bf16 else x
+
+
+def _dot(a, b, bf16):
+    return jnp.dot(_mxu(a, bf16), _mxu(b, bf16),
+                   preferred_element_type=jnp.float32)
+
+
+def _dotT_lhs(a, b, bf16):
     """a^T @ b without materializing the transpose (MXU-native form)."""
     return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())),
+        _mxu(a, bf16), _mxu(b, bf16), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _dotT_rhs(a, b):
+def _dotT_rhs(a, b, bf16):
     """a @ b^T without materializing the transpose."""
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())),
+        _mxu(a, bf16), _mxu(b, bf16), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
 def _pass1_kernel(v_ref, h_ref, w_ref, hout_ref, a_ref, b_ref, sps_ref,
-                  a_scr, b_scr, sp_scr, *, sparsity):
+                  a_scr, b_scr, sp_scr, *, sparsity, bf16):
     i = pl.program_id(0)
     w = w_ref[:]
     h = h_ref[:]
-    lam = jnp.maximum(
-        jnp.dot(w, h, preferred_element_type=jnp.float32), _FLR
-    )
-    numer = _dotT_lhs(w, v_ref[:])
-    denom = _dotT_lhs(w, lam) + sparsity
+    lam = jnp.maximum(_dot(w, h, bf16), _FLR)
+    numer = _dotT_lhs(w, v_ref[:], bf16)
+    denom = _dotT_lhs(w, lam, bf16) + sparsity
     h_new = h * numer / jnp.maximum(denom, _FLR)
     hout_ref[:] = h_new
-    lam2 = jnp.maximum(
-        jnp.dot(w, h_new, preferred_element_type=jnp.float32), _FLR
-    )
-    a_c = _dotT_rhs(v_ref[:], h_new)
-    b_c = _dotT_rhs(lam2, h_new)
+    lam2 = jnp.maximum(_dot(w, h_new, bf16), _FLR)
+    a_c = _dotT_rhs(v_ref[:], h_new, bf16)
+    b_c = _dotT_rhs(lam2, h_new, bf16)
     sp_c = jnp.float32(sparsity) * jnp.sum(h_new)
 
     # accumulate in persistent VMEM scratch; flush to the (revisited) output
@@ -106,11 +119,9 @@ def _pass1_kernel(v_ref, h_ref, w_ref, hout_ref, a_ref, b_ref, sps_ref,
         sps_ref[0, 0] = sp_scr[0]
 
 
-def _pass2_kernel(v_ref, h_ref, w_ref, div_ref, d_scr):
+def _pass2_kernel(v_ref, h_ref, w_ref, div_ref, d_scr, *, bf16):
     i = pl.program_id(0)
-    lam = jnp.maximum(
-        jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32), _FLR
-    )
+    lam = jnp.maximum(_dot(w_ref[:], h_ref[:], bf16), _FLR)
     d = jnp.sum((v_ref[:] - lam) ** 2)
 
     @pl.when(i == 0)
@@ -126,23 +137,33 @@ def _pass2_kernel(v_ref, h_ref, w_ref, div_ref, d_scr):
         div_ref[0, 0] = d_scr[0]
 
 
-def _mu_ed_iteration(v, h, w, sparsity, w_mask, interpret=False):
+def _mu_ed_iteration(v, h, w, sparsity, w_mask, interpret=False,
+                     bf16=None, tile_n=None):
     """One full MU iteration (H update, W update, objective).
 
-    v: (m, n), h: (r, n), w: (m, r); n must be a multiple of _TN.
+    v: (m, n), h: (r, n), w: (m, r); n must be a multiple of the tile.
+    ``bf16``: bf16 MXU inputs / f32 accumulation (default
+    _MXU_BF16_DEFAULT -- the XLA core's effective precision class).
+    ``tile_n``: frames per tile (default _TN; env DRNMF_PALLAS_MU_TN).
     Returns (h', w', div, cost)."""
+    import os as _os
+
+    if bf16 is None:
+        bf16 = bool(int(_os.environ.get("DRNMF_PALLAS_MU_BF16",
+                                        str(int(_MXU_BF16_DEFAULT)))))
+    _tn = tile_n or int(_os.environ.get("DRNMF_PALLAS_MU_TN", str(_TN)))
     m, n = v.shape
     r = h.shape[0]
-    grid = (n // _TN,)
+    grid = (n // _tn,)
 
-    tile_v = pl.BlockSpec((m, _TN), lambda i: (0, i), memory_space=pltpu.VMEM)
-    tile_h = pl.BlockSpec((r, _TN), lambda i: (0, i), memory_space=pltpu.VMEM)
+    tile_v = pl.BlockSpec((m, _tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+    tile_h = pl.BlockSpec((r, _tn), lambda i: (0, i), memory_space=pltpu.VMEM)
     whole = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
     h_new, a, b, sp_sum = pl.pallas_call(
-        partial(_pass1_kernel, sparsity=float(sparsity)),
+        partial(_pass1_kernel, sparsity=float(sparsity), bf16=bf16),
         grid=grid,
         in_specs=[tile_v, tile_h, whole((m, r))],
         out_specs=[
@@ -175,7 +196,7 @@ def _mu_ed_iteration(v, h, w, sparsity, w_mask, interpret=False):
     w_new = w_new / jnp.sqrt(jnp.sum(w_new * w_new, axis=0, keepdims=True))
 
     div = pl.pallas_call(
-        _pass2_kernel,
+        partial(_pass2_kernel, bf16=bf16),
         grid=grid,
         in_specs=[tile_v, tile_h, whole((m, r))],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -191,7 +212,7 @@ def _mu_ed_iteration(v, h, w, sparsity, w_mask, interpret=False):
 
 
 def sparse_nmf_ed_pallas(v, w0, h0, sparsity, w_mask, max_iter, conv_eps,
-                         interpret=False):
+                         interpret=False, bf16=None, tile_n=None):
     """Full ED sparse NMF optimization with the fused MU kernel.
 
     Mirrors ``_sparse_nmf_core`` for beta=2 / all-True h_update_ind:
@@ -204,7 +225,10 @@ def sparse_nmf_ed_pallas(v, w0, h0, sparsity, w_mask, max_iter, conv_eps,
     m, n = v.shape
     r = h0.shape[0]
 
-    pad = (-n) % _TN
+    import os as _os
+
+    _tn = tile_n or int(_os.environ.get("DRNMF_PALLAS_MU_TN", str(_TN)))
+    pad = (-n) % _tn
     if pad:
         v = jnp.pad(v, ((0, 0), (0, pad)))
         h0 = jnp.pad(h0, ((0, 0), (0, pad)))
@@ -216,7 +240,8 @@ def sparse_nmf_ed_pallas(v, w0, h0, sparsity, w_mask, max_iter, conv_eps,
     def body(carry):
         w, h, last_cost, it, divs, costs, done = carry
         h, w, div, cost = _mu_ed_iteration(
-            v, h, w, sparsity, w_mask, interpret=interpret
+            v, h, w, sparsity, w_mask, interpret=interpret, bf16=bf16,
+            tile_n=_tn,
         )
         divs = divs.at[it].set(div)
         costs = costs.at[it].set(cost)

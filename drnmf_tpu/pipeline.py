@@ -262,6 +262,7 @@ def drnmf_config_from_params(params_model, input_dim, mask_value=-1.0):
         remat=bool(params_model.get("remat", True)),
         remat_policy=params_model.get("remat_policy", "auto"),
         scan_unroll=int(params_model.get("scan_unroll", 4)),
+        batched_grad=bool(params_model.get("batched_grad", False)),
     )
 
 

@@ -1,0 +1,256 @@
+#!/usr/bin/env python
+"""Full-scale shakeout: one CHiME2-scale epoch, measured (VERDICT r4 #2).
+
+Every published full-scale number so far was steps/s x iteration-count
+extrapolation; the largest corpus ever run end-to-end here was 48 files
+(~3 min of audio).  This script generates a synthetic corpus at the
+reference's actual training scale -- 7,138 train utterances
+(taskfile_chime2_train_noisy.txt line count) with a WSJ0-like length
+distribution (~14 h of audio) -- then runs the production pipeline stage
+by stage on-chip, measuring wall-clock and peak host RSS per stage:
+
+  1. corpus     wav synthesis + writes (host)
+  2. featurize  AudioDataset device STFT featurizer + HDF5 cache
+  3. tensorize  maxlen-500 chunking -> (n_seq, 500, 257) tensors + npz
+  4. snmf       two-stage dictionary (r=1000) through the chunked MU
+                driver (the snmf.py:33-36 frame_batch_size regime)
+  5. train      ONE epoch of the flagship DR-NMF (B=32) through the
+                production loop (device-resident fusion or the streaming
+                host path, whichever the size triggers -- reported)
+  6. enhance    predict+reconstruct a 240-file valid split (RTF)
+
+Each stage is cached/idempotent, so an interrupted run resumes.  Results
+append to runs/scale_r5/shakeout.json; the summary table goes to
+RESULTS.md by hand.
+
+Usage:
+  python scripts/scale_shakeout.py [--files 7138] [--valid-files 240]
+      [--r 1000] [--snmf-max-iter 1000] [--epochs 1] [--skip STAGES]
+"""
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WORKDIR = os.path.join(REPO, "runs", "scale_r5")
+
+
+def _rss_gb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--files", type=int, default=7138)
+    ap.add_argument("--valid-files", type=int, default=240)
+    ap.add_argument("--r", type=int, default=1000)
+    ap.add_argument("--snmf-max-iter", type=int, default=1000)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--skip", default="", help="comma list of stage names")
+    args = ap.parse_args()
+    skip = set(s for s in args.skip.split(",") if s)
+
+    os.makedirs(WORKDIR, exist_ok=True)
+    report_path = os.path.join(WORKDIR, "shakeout.json")
+    report = {"files": args.files, "stages": {}}
+
+    def stage(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.monotonic()
+                report["stages"].setdefault(name, {})
+                print(f"[shakeout] == {name} ==", flush=True)
+                return self
+
+            def __exit__(self, et, ev, tb):
+                wall = time.monotonic() - self.t0
+                report["stages"][name].update(
+                    {"wall_s": round(wall, 1), "rss_gb": round(_rss_gb(), 2)})
+                print(f"[shakeout] {name}: {wall:.1f}s "
+                      f"(peak RSS {_rss_gb():.1f} GB)", flush=True)
+                with open(report_path, "w") as f:
+                    json.dump(report, f, indent=1)
+                return False
+        return _T()
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honor the env even when the axon sitecustomize already imported
+        # jax and pinned the TPU platform via jax.config (which wins over
+        # env) -- a CPU smoke test must never contend for the chip claim
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import bench
+
+    bench._enable_compile_cache()
+    devs = bench._ensure_backend()
+    report["device"] = devs[0].device_kind
+    print(f"[shakeout] backend: {devs[0].device_kind}", flush=True)
+
+    from drnmf_tpu.data.synthetic import make_synthetic_corpus, \
+        wsj0_like_lengths
+
+    # ---- 1. corpus --------------------------------------------------------
+    tf = {}
+    with stage("corpus"):
+        for split, n, seed in (("train", args.files, 2016),
+                               ("valid", args.valid_files, 77)):
+            root = os.path.join(WORKDIR, f"audio_{split}")
+            tfn = os.path.join(root, "taskfile_noisy.txt")
+            tfc = os.path.join(root, "taskfile_clean.txt")
+            if not (os.path.exists(tfn) and os.path.exists(tfc)):
+                rng = np.random.default_rng(seed)
+                make_synthetic_corpus(
+                    root, n_files=n, seed=seed,
+                    lengths=wsj0_like_lengths(rng, n),
+                    verbose_every=500)
+            tf[split] = (tfn, tfc)
+        secs = 0.0
+        for split in ("train", "valid"):
+            import wave
+
+            for p in open(tf[split][0]).read().split():
+                with wave.open(p) as w:
+                    secs += w.getnframes() / w.getframerate()
+        report["audio_hours"] = round(secs / 3600.0, 2)
+        print(f"[shakeout] corpus: {report['audio_hours']} h", flush=True)
+
+    params_data = {
+        "downsample": 1, "maxlen": 500,
+        "params_stft": {"N": 512, "hop": 128, "nch": 1},
+        "transform_x": "mag", "transform_y": "mag",
+        "taskfile_x_train": tf["train"][0], "taskfile_y_train": tf["train"][1],
+        "taskfile_x_valid": tf["valid"][0], "taskfile_y_valid": tf["valid"][1],
+        "datafile_train": os.path.join(WORKDIR, "stfts_train.h5"),
+        "datafile_valid": os.path.join(WORKDIR, "stfts_valid.h5"),
+    }
+
+    # ---- 2. featurize ------------------------------------------------------
+    from drnmf_tpu.pipeline import (build_datasets, dataset_audio_seconds,
+                                    load_tensors)
+
+    with stage("featurize"):
+        datasets = build_datasets(params_data, splits=("train", "valid"))
+        d_tr = datasets["train"]
+        report["stages"]["featurize"].update({
+            "n_files": int(d_tr.fidx.shape[0]),
+            "total_frames": int(np.sum(d_tr.fidx[:, 1] - d_tr.fidx[:, 0])),
+            "audio_s": round(dataset_audio_seconds(d_tr), 1),
+            "stack_gb": round(d_tr.x_stack.nbytes / 1e9, 2),
+        })
+
+    # ---- 3. tensorize ------------------------------------------------------
+    with stage("tensorize"):
+        xt, yt, mt = load_tensors(
+            datasets["train"], params_data, 500,
+            cache_path=os.path.join(WORKDIR, "tensors_train.npz"))
+        xv, yv, mv = load_tensors(
+            datasets["valid"], params_data, 500,
+            cache_path=os.path.join(WORKDIR, "tensors_valid.npz"))
+        n_seq = xt.shape[0]
+        iters = int(np.ceil(n_seq / args.batch_size))
+        report["stages"]["tensorize"].update({
+            "n_seq": int(n_seq), "tensor_gb":
+                round(sum(t.nbytes for t in (xt, yt, mt)) / 1e9, 2),
+            "iters_per_epoch": iters,
+        })
+        print(f"[shakeout] {n_seq} seqs -> {iters} iters/epoch at "
+              f"B={args.batch_size}", flush=True)
+
+    # ---- 4. snmf -----------------------------------------------------------
+    from drnmf_tpu.data.batching import masked_seqs_to_frames
+    from drnmf_tpu.ops import SNMFParams
+    from drnmf_tpu.train.snmf_recipe import train_snmf
+
+    params_snmf = SNMFParams(r=args.r, cf="ed", sparsity=1.0,
+                             max_iter=args.snmf_max_iter, conv_eps=1e-4,
+                             random_seed=2016)
+    w_noisy = None
+    if "snmf" not in skip:
+        with stage("snmf"):
+            x_frames = masked_seqs_to_frames(xt, mt)
+            y_frames = masked_seqs_to_frames(yt, mt)
+            report["stages"]["snmf"].update(
+                {"n_frames": int(x_frames.shape[1]), "r": args.r})
+            w_noisy, _, _ = train_snmf(
+                y_frames, x_frames, params_snmf,
+                path_dicts=os.path.join(WORKDIR, "dicts") + "/",
+                verbose=True)
+            del x_frames, y_frames
+
+    # ---- 5. train one epoch -----------------------------------------------
+    if "train" not in skip:
+        from drnmf_tpu.models import (drnmf_apply, drnmf_trainable_mask,
+                                      init_drnmf_params)
+        from drnmf_tpu.pipeline import drnmf_config_from_params
+        from drnmf_tpu.train import (TrainConfig, masked_mse_signal_approx,
+                                     train_model)
+
+        if w_noisy is None:  # --skip snmf: random dictionary, same shapes
+            rng = np.random.default_rng(7654)
+            w_noisy = rng.uniform(
+                0.01, 1.0, (257, 2 * args.r)).astype(np.float32)
+            w_noisy /= np.sqrt(np.sum(w_noisy**2, axis=0))
+        config = drnmf_config_from_params(
+            {"K_layers": 5, "r": args.r, "alph": 400.0, "lam1": 1.0,
+             "params_untied": ["log_D", "log_alph"],
+             "params_trainable": ["log_D", "log_alph"]}, 257)
+        params = init_drnmf_params(config, np.asarray(w_noisy))
+
+        def loss_fn(p, x, y, mask):
+            irm = drnmf_apply(p, config, x)
+            return masked_mse_signal_approx(irm, x, y, mask)
+
+        with stage("train"):
+            tc = TrainConfig(epochs=args.epochs,
+                             batch_size=args.batch_size,
+                             learning_rate=1e-3, patience=50, verbose=True)
+            t0 = time.monotonic()
+            _, hist = train_model(
+                params, loss_fn, (xt, yt, mt), (xv, yv, mv), tc,
+                trainable_mask=drnmf_trainable_mask(config, params),
+                savefile=os.path.join(WORKDIR, "model_scale.npz"),
+                resume=True)
+            wall = time.monotonic() - t0
+            report["stages"]["train"].update({
+                "epochs": args.epochs,
+                "steps_per_s": round(iters * args.epochs / wall, 2),
+                "epoch_s": round(wall / args.epochs, 1),
+                "final_loss":
+                    float(hist.history["on_epoch_end"]["loss"][-1]),
+            })
+
+    # ---- 6. enhance the valid split ----------------------------------------
+    if "enhance" not in skip:
+        from drnmf_tpu.models import drnmf_apply as _apply
+        from drnmf_tpu.pipeline import predict_irm, reconstruct_split
+
+        with stage("enhance"):
+            audio_s = dataset_audio_seconds(datasets["valid"])
+            t0 = time.monotonic()
+            irm = predict_irm(
+                lambda p, x: _apply(p, config, x), params, xv,
+                mask_value=config.mask_value)
+            reconstruct_split(datasets["valid"], irm, mv, "scale_shakeout")
+            wall = time.monotonic() - t0
+            report["stages"]["enhance"].update({
+                "audio_s": round(audio_s, 1),
+                "rtf": round(audio_s / wall, 1),
+            })
+
+    print(json.dumps(report, indent=1), flush=True)
+    print(f"[shakeout] report -> {report_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -544,3 +544,88 @@ def test_scan_unroll_is_exact(rng):
             np.testing.assert_allclose(
                 np.asarray(g[k]), np.asarray(g_base[k]), rtol=1e-6,
                 atol=1e-7, err_msg=f"unroll={u} grad {k}")
+
+
+@pytest.mark.parametrize("K", [1, 3])
+def test_batched_grad_matches_autodiff(rng, K):
+    """The batched-T backward (models/batched_grad.py custom VJP --
+    sequential delta chain + one T*B-contraction matmul per weight
+    gradient) produces the same forward values and the same gradients as
+    autodiff through the standard scan, on the production configuration
+    (relu, connect_input, frozen-U fold + factored S), including padded
+    (masked) timesteps and grads w.r.t. the input."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from drnmf_tpu.models import init_drnmf_params
+    from drnmf_tpu.models.drnmf import _scan_hidden, step_mask_from_input
+
+    f, r = 9, 4
+    base = DRNMFConfig(
+        input_dim=f, r=r, output_dim=f, K_layers=K, alph=10.0, lam1=0.5,
+        params_untied=("log_D", "log_alph"),
+        params_trainable=("log_D", "log_alph"), scan_unroll=2,
+    )
+    cfg_b = dataclasses.replace(base, batched_grad=True)
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = init_drnmf_params(base, w)
+
+    bsz, t = 3, 7
+    x = rng.uniform(0.0, 2.0, (bsz, t, f)).astype(np.float32)
+    x[1, 5:] = base.mask_value  # padded tail
+    x[2, 3:] = base.mask_value
+    xj = jnp.asarray(x)
+    sm = step_mask_from_input(xj, base.mask_value)
+
+    hs_a = _scan_hidden(params, base, xj, sm)
+    hs_b = _scan_hidden(params, cfg_b, xj, sm)
+    np.testing.assert_allclose(np.asarray(hs_b), np.asarray(hs_a),
+                               rtol=1e-6, atol=1e-7)
+
+    def loss(cfg):
+        def f_(p, xx):
+            hs = _scan_hidden(p, cfg, xx, sm)
+            return jnp.mean(jnp.where(sm[..., None], hs, 0.0) ** 2) \
+                + jnp.sum(hs[:, -1] ** 3) * 1e-3
+        return f_
+
+    g_a = jax.jit(jax.grad(loss(base), argnums=(0, 1)))(params, xj)
+    g_b = jax.jit(jax.grad(loss(cfg_b), argnums=(0, 1)))(params, xj)
+    for k in g_a[0]:
+        np.testing.assert_allclose(
+            np.asarray(g_b[0][k]), np.asarray(g_a[0][k]), rtol=2e-4,
+            atol=1e-6, err_msg=f"param grad {k}")
+    np.testing.assert_allclose(np.asarray(g_b[1]), np.asarray(g_a[1]),
+                               rtol=2e-4, atol=1e-6, err_msg="input grad")
+
+
+def test_batched_grad_budget_fallback(rng, monkeypatch):
+    """Over-budget residual stacks fall back to the autodiff scan (same
+    values) instead of allocating."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from drnmf_tpu.models import init_drnmf_params
+    from drnmf_tpu.models.drnmf import _scan_hidden, step_mask_from_input
+
+    f, r = 7, 3
+    cfg = dataclasses.replace(
+        DRNMFConfig(input_dim=f, r=r, output_dim=f, K_layers=2, alph=8.0,
+                    lam1=0.3, params_untied=("log_D",),
+                    params_trainable=("log_D",)),
+        batched_grad=True)
+    w = rng.uniform(0.05, 1.0, (f, 2 * r)).astype(np.float32)
+    w /= np.sqrt(np.sum(w**2, axis=0))
+    params = init_drnmf_params(cfg, w)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 5, f)).astype(np.float32))
+    sm = step_mask_from_input(x, cfg.mask_value)
+    hs_ok = _scan_hidden(params, cfg, x, sm)
+    monkeypatch.setenv("DRNMF_BATCHED_GRAD_BUDGET_BYTES", "1")
+    hs_fb = _scan_hidden(params, cfg, x, sm)
+    np.testing.assert_allclose(np.asarray(hs_fb), np.asarray(hs_ok),
+                               rtol=1e-6, atol=1e-7)

@@ -114,7 +114,7 @@ def test_snmf_mu_pallas_matches_xla_core(rng):
     )
     w_p, h_p, divs_p, costs_p, it_p = sparse_nmf_ed_pallas(
         v, w0, h0, 0.7, jnp.asarray(w_mask), max_iter=8, conv_eps=0.0,
-        interpret=True,
+        interpret=True, bf16=False,
     )
     assert int(it_p) == int(it_ref)
     np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_ref),
@@ -123,6 +123,25 @@ def test_snmf_mu_pallas_matches_xla_core(rng):
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(costs_p), np.asarray(costs_ref),
                                rtol=2e-4)
+
+    # the bf16-MXU default (the XLA core's effective precision class on
+    # TPU, where DEFAULT matmul precision is single-pass bf16): same
+    # optimization trajectory within bf16 input tolerance, monotone cost
+    w_b, h_b, _, costs_b, it_b = sparse_nmf_ed_pallas(
+        v, w0, h0, 0.7, jnp.asarray(w_mask), max_iter=8, conv_eps=0.0,
+        interpret=True, bf16=True,
+    )
+    assert int(it_b) == int(it_ref)
+    np.testing.assert_allclose(np.asarray(w_b), np.asarray(w_ref),
+                               rtol=0.05, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(costs_b), np.asarray(costs_ref),
+                               rtol=0.02)
+    cb = np.asarray(costs_b)
+    # bf16 input rounding perturbs the multiplicative updates, so strict
+    # per-iteration monotonicity is NOT guaranteed (same property as the
+    # XLA core at jax's default precision on TPU); the optimization must
+    # still descend overall
+    assert cb[-1] < cb[0]
 
 
 def test_snmf_mu_pallas_conv_eps(rng):
@@ -142,7 +161,7 @@ def test_snmf_mu_pallas_conv_eps(rng):
     )
     _, _, _, _, it_p = sparse_nmf_ed_pallas(
         v, w0, h0, 0.0, jnp.ones((r,), bool), max_iter=200, conv_eps=1e-3,
-        interpret=True,
+        interpret=True, bf16=False,
     )
     assert abs(int(it_p) - int(it_ref)) <= 1  # f32 cost roundoff at the stop
 
@@ -164,7 +183,7 @@ def test_snmf_use_pallas_routing(rng):
     orig = snmf_mu.sparse_nmf_ed_pallas
     with mock.patch.object(
         snmf_mu, "sparse_nmf_ed_pallas",
-        lambda *a, **k: orig(*a, interpret=True, **k),
+        lambda *a, **k: orig(*a, interpret=True, bf16=False, **k),
     ):
         res_p = sparse_nmf(v, SNMFParams(**base, use_pallas=True))
     np.testing.assert_allclose(res_p.w, res_xla.w, rtol=2e-5, atol=1e-6)
