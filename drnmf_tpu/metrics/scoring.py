@@ -94,7 +94,7 @@ def compute_scores(est_file, ref_file, compute_pesq=True, align="guard"):
 
 def score_taskfiles(enhanced_files, reference_files, savefile=None,
                     compute_pesq=True, flag_rescore=False, n_workers=8,
-                    verbose=False, align="guard"):
+                    verbose=False, align="guard", mesh=None):
     """Score a list of file pairs with caching.  Returns (S, labels):
     S is (n_files, 6).
 
@@ -163,7 +163,16 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
         ests = [enh_data[i, : enh_len[i]] for i in range(len(pairs))]
         refs = [ref_data[i, : ref_len[i]] for i in range(len(pairs))]
 
-        if engine_path:
+        if engine_path and mesh is not None and align in ("guard", "off"):
+            # mesh-sharded engine: each pow2 bucket's file rows split over
+            # the mesh axis (the parfor analog, score_audio.m:72-98) --
+            # identical row-level scores to the single-chip engine
+            from .sharded import score_all_sharded
+
+            S, _ = score_all_sharded(ests, refs, mesh, fs=fs_ref[0],
+                                     compute_pesq=compute_pesq, align=align)
+            scores = list(S)
+        elif engine_path:
             # the round-3 engine: PESQ and STOI run ON DEVICE alongside the
             # fused SDR/SNR/SegSNR program, sharing one packed transfer per
             # bucket -- no host metric math, no thread-pool serialization
@@ -243,7 +252,7 @@ def score_taskfiles(enhanced_files, reference_files, savefile=None,
 
 def score_dataset(dataset, description, snr_name=None, savefile=None,
                   datadir="", compute_pesq=True, flag_rescore=False,
-                  verbose=False):
+                  verbose=False, mesh=None):
     """Score a dataset's enhanced outputs, optionally one SNR bucket.
 
     Mirrors AudioDataset.score_audio (audio_dataset.py:399-435): enhanced
@@ -264,7 +273,7 @@ def score_dataset(dataset, description, snr_name=None, savefile=None,
 
     return score_taskfiles(
         enh, refs, savefile=savefile, compute_pesq=compute_pesq,
-        flag_rescore=flag_rescore, verbose=verbose,
+        flag_rescore=flag_rescore, verbose=verbose, mesh=mesh,
     )
 
 

@@ -148,6 +148,12 @@ def reconstruct_split(dataset, irm, mask, description, fs=None,
         return
 
     lens = (dataset.fidx[:, 1] - dataset.fidx[:, 0]).astype(int)
+    if irm.shape[0] != len(dataset.x_wavfiles) or irm.shape[1] < lens.max():
+        raise ValueError(
+            f"reconstruct_split needs one irm row per wav file at full "
+            f"length (build inference tensors with maxlen=None): got "
+            f"irm {irm.shape} for {len(dataset.x_wavfiles)} files with "
+            f"max {int(lens.max())} frames")
     buckets = {}
     for j, ln in enumerate(lens):
         buckets.setdefault(-(-ln // bucket_frames) * bucket_frames, []).append(j)
@@ -170,8 +176,10 @@ def reconstruct_split(dataset, irm, mask, description, fs=None,
 
 
 def score_split(dataset, description, datadir, compute_pesq=True,
-                flag_rescore=False, verbose=True):
-    """Per-SNR scoring + overall aggregation (enhance.py:1396-1433)."""
+                flag_rescore=False, verbose=True, mesh=None):
+    """Per-SNR scoring + overall aggregation (enhance.py:1396-1433).
+    ``mesh``: optional jax Mesh -- score buckets shard their file rows
+    over its first axis (metrics/sharded.py), identical scores."""
     per_snr = []
     for snr_name in SNRS:
         refs = [w for w in dataset.y_wavfiles if f"/{snr_name}/" in w]
@@ -182,6 +190,7 @@ def score_split(dataset, description, datadir, compute_pesq=True,
         S, labels = score_dataset(
             dataset, description, snr_name=snr_name, datadir=datadir,
             compute_pesq=compute_pesq, flag_rescore=flag_rescore,
+            mesh=mesh,
         )
         per_snr.append((S, labels))
     overall = aggregate_snr_scores(per_snr, len(dataset.y_wavfiles))
@@ -441,7 +450,7 @@ def run_unfolded_snmf(params_model, params_data, folder_exp, path_dicts=None,
             results[split] = score_split(
                 datasets[split], desc, folder_exp + "/",
                 compute_pesq=compute_pesq, verbose=verbose,
-                flag_rescore=flag_rescore,
+                flag_rescore=flag_rescore, mesh=mesh,
             )
             if verbose:
                 print(f"Enhancement timing ({split}):\n{timer.report()}")
@@ -536,7 +545,7 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
             results[split] = score_split(
                 datasets[split], desc, folder_exp + "/",
                 compute_pesq=compute_pesq, verbose=verbose,
-                flag_rescore=flag_rescore,
+                flag_rescore=flag_rescore, mesh=mesh,
             )
     return best_params, config, results
 

@@ -40,6 +40,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# scale-keyed workdir: every cached stage artifact (corpus, HDF5 stacks,
+# tensors, dictionaries, model state) is only valid for ONE corpus size --
+# a smoke run must never seed the full-scale measurement
 WORKDIR = os.path.join(REPO, "runs", "scale_r5")
 
 
@@ -59,6 +62,8 @@ def main():
     args = ap.parse_args()
     skip = set(s for s in args.skip.split(",") if s)
 
+    global WORKDIR
+    WORKDIR = os.path.join(WORKDIR, f"files{args.files}_r{args.r}")
     os.makedirs(WORKDIR, exist_ok=True)
     report_path = os.path.join(WORKDIR, "shakeout.json")
     report = {"files": args.files, "stages": {}}
@@ -238,10 +243,17 @@ def main():
         with stage("enhance"):
             audio_s = dataset_audio_seconds(datasets["valid"])
             t0 = time.monotonic()
+            # inference uses per-utterance full-length rows (maxlen=None),
+            # exactly like run_unfolded_snmf's scoring path -- the
+            # maxlen-500 training tensors are per-CHUNK rows and cannot be
+            # fed to reconstruct_split (one row per wav file required)
+            xf, _, mf = load_tensors(
+                datasets["valid"], params_data, None,
+                cache_path=os.path.join(WORKDIR, "tensors_valid_full.npz"))
             irm = predict_irm(
-                lambda p, x: _apply(p, config, x), params, xv,
+                lambda p, x: _apply(p, config, x), params, xf,
                 mask_value=config.mask_value)
-            reconstruct_split(datasets["valid"], irm, mv, "scale_shakeout")
+            reconstruct_split(datasets["valid"], irm, mf, "scale_shakeout")
             wall = time.monotonic() - t0
             report["stages"]["enhance"].update({
                 "audio_s": round(audio_s, 1),
