@@ -159,7 +159,8 @@ def main(argv=None):
             pipeline.run_lstm(params_model, params_data, folder_exp,
                               mesh=mesh, **common)
         else:
-            pipeline.run_snmf(params_model, params_data, folder_exp, **common)
+            pipeline.run_snmf(params_model, params_data, folder_exp,
+                              mesh=mesh, **common)
 
 
 if __name__ == "__main__":

@@ -552,9 +552,11 @@ def run_lstm(params_model, params_data, folder_exp, flag_recompute=False,
 
 def run_snmf(params_model, params_data, folder_exp, path_dicts=None,
              flag_recompute=False, flag_score=True, compute_pesq=True,
-             verbose=True, splits=("valid", "test"), flag_rescore=False):
+             verbose=True, splits=("valid", "test"), flag_rescore=False,
+             mesh=None):
     """The 'snmf' branch (enhance.py:750-928): dictionary + frozen-W MU
-    inference as the enhancer."""
+    inference as the enhancer.  ``mesh``: optional jax Mesh -- scoring
+    shards bucket rows over its first axis (identical scores)."""
     ensure_experiment_dirs(folder_exp)
     if path_dicts is None:
         path_dicts = os.path.join(folder_exp, "dicts") + "/"
@@ -610,6 +612,6 @@ def run_snmf(params_model, params_data, folder_exp, path_dicts=None,
             results[split] = score_split(
                 ds, desc, folder_exp + "/",
                 compute_pesq=compute_pesq, verbose=verbose,
-                flag_rescore=flag_rescore,
+                flag_rescore=flag_rescore, mesh=mesh,
             )
     return w_noisy, params_snmf, results
