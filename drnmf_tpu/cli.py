@@ -119,35 +119,36 @@ def main(argv=None):
             parser.error("--fsdp applies to trained models only")
         # run control, not model identity: same numbers, different layout
         params_model["fsdp"] = True
-    if model_type in ("unfolded_snmf", "lstm"):
-        import jax
+    # every family builds the mesh: trained models shard the fit AND the
+    # scoring; the snmf branch uses it for mesh-sharded scoring only
+    import jax
 
-        n_dev = len(jax.devices())
-        n_tp = max(args.tp, 1)
-        if args.dp == "auto":
-            n_dp = n_dev // n_tp if n_tp > 1 else n_dev
-        else:
-            n_dp = int(args.dp)
-        n_dp = max(n_dp, 1)
-        if n_tp > 1:
-            if n_dp * n_tp > n_dev:
-                parser.error(f"--dp {n_dp} x --tp {n_tp} exceeds "
-                             f"{n_dev} local devices")
-            from .parallel import make_mesh_2d
+    n_dev = len(jax.devices())
+    n_tp = max(args.tp, 1)
+    if args.dp == "auto":
+        n_dp = n_dev // n_tp if n_tp > 1 else n_dev
+    else:
+        n_dp = int(args.dp)
+    n_dp = max(n_dp, 1)
+    if n_tp > 1:
+        if n_dp * n_tp > n_dev:
+            parser.error(f"--dp {n_dp} x --tp {n_tp} exceeds "
+                         f"{n_dev} local devices")
+        from .parallel import make_mesh_2d
 
-            mesh = make_mesh_2d(n_dp, n_tp)
-            if not args.quiet:
-                print(f"2-D training mesh: dp={n_dp} x tp={n_tp}")
-        elif n_dp > 1:
-            if n_dp > n_dev:
-                parser.error(f"--dp {n_dp} exceeds {n_dev} local devices")
-            from .parallel import make_mesh
+        mesh = make_mesh_2d(n_dp, n_tp)
+        if not args.quiet:
+            print(f"2-D training mesh: dp={n_dp} x tp={n_tp}")
+    elif n_dp > 1:
+        if n_dp > n_dev:
+            parser.error(f"--dp {n_dp} exceeds {n_dev} local devices")
+        from .parallel import make_mesh
 
-            mesh = make_mesh(n_dp)
-            if not args.quiet:
-                print(f"data-parallel training over {n_dp} devices")
-        if args.fsdp and mesh is None:
-            parser.error("--fsdp requires a data-parallel mesh (--dp > 1)")
+        mesh = make_mesh(n_dp)
+        if not args.quiet:
+            print(f"data-parallel mesh over {n_dp} devices")
+    if args.fsdp and mesh is None:
+        parser.error("--fsdp requires a data-parallel mesh (--dp > 1)")
 
     from .utils import trace
 

@@ -80,6 +80,10 @@ def _sharded_fused_fn(mesh, axis, nfft, flen, frame_len):
 
 
 def _as_f32(x, n):
+    # KEEP IN SYNC with engine.score_all_packed's as_f32 closure (same
+    # int16 dequant rule) -- the sharded path must stay row-identical to
+    # the single-chip engine (pinned by
+    # test_sharded_engine_matches_single_device)
     arr = np.asarray(x[:n])
     if arr.dtype == np.int16:
         return arr.astype(np.float32) * np.float32(1.0 / 32768.0)
@@ -170,7 +174,10 @@ def score_all_sharded(est_list, ref_list, mesh, axis=None, fs: int = 16000,
         delays[w[1][newly]] = np.round(w[4][newly][:, 6]).astype(np.int64)
         w[3] = w[3] & ~newly
 
-    # ridge escalation (fused family only), then exact host SDR fallback
+    # ridge escalation (fused family only), then exact host SDR fallback.
+    # KEEP IN SYNC with engine._score_pass's commit/pending ladder
+    # (1e-7 -> 1e-5 -> 1e-3 -> host bss_eval_sdr): a ladder change there
+    # must land here too or the sharded/engine parity test breaks.
     for ridge in (1e-5, 1e-3):
         pending = [
             (w, _sharded_fused_fn(mesh, axis, w[0], flen, frame_len)(

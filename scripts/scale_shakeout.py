@@ -67,6 +67,14 @@ def main():
     os.makedirs(WORKDIR, exist_ok=True)
     report_path = os.path.join(WORKDIR, "shakeout.json")
     report = {"files": args.files, "stages": {}}
+    if os.path.exists(report_path):
+        # resume: keep the measurements of already-completed stages -- a
+        # re-entered stage that cache-hits must not overwrite the genuine
+        # wall-clock with its near-zero replay time
+        with open(report_path) as f:
+            prev = json.load(f)
+        report.update(prev)
+        report["stages"] = prev.get("stages", {})
 
     def stage(name):
         class _T:
@@ -78,8 +86,12 @@ def main():
 
             def __exit__(self, et, ev, tb):
                 wall = time.monotonic() - self.t0
-                report["stages"][name].update(
-                    {"wall_s": round(wall, 1), "rss_gb": round(_rss_gb(), 2)})
+                cur = report["stages"][name]
+                if wall >= cur.get("wall_s", 0.0):
+                    cur.update({"wall_s": round(wall, 1),
+                                "rss_gb": round(_rss_gb(), 2)})
+                else:  # cache replay of a stage measured for real before
+                    cur["cached_rerun_s"] = round(wall, 1)
                 print(f"[shakeout] {name}: {wall:.1f}s "
                       f"(peak RSS {_rss_gb():.1f} GB)", flush=True)
                 with open(report_path, "w") as f:
@@ -194,23 +206,27 @@ def main():
             del x_frames, y_frames
 
     # ---- 5. train one epoch -----------------------------------------------
+    # model config + init params are built regardless of --skip train so the
+    # enhance stage can run standalone (it reloads the trained checkpoint)
+    from drnmf_tpu.models import (drnmf_apply, drnmf_trainable_mask,
+                                  init_drnmf_params)
+    from drnmf_tpu.pipeline import drnmf_config_from_params
+
+    if w_noisy is None:  # --skip snmf: random dictionary, same shapes
+        rng = np.random.default_rng(7654)
+        w_noisy = rng.uniform(
+            0.01, 1.0, (257, 2 * args.r)).astype(np.float32)
+        w_noisy /= np.sqrt(np.sum(w_noisy**2, axis=0))
+    config = drnmf_config_from_params(
+        {"K_layers": 5, "r": args.r, "alph": 400.0, "lam1": 1.0,
+         "params_untied": ["log_D", "log_alph"],
+         "params_trainable": ["log_D", "log_alph"]}, 257)
+    params = init_drnmf_params(config, np.asarray(w_noisy))
+    savefile = os.path.join(WORKDIR, "model_scale.npz")
+
     if "train" not in skip:
-        from drnmf_tpu.models import (drnmf_apply, drnmf_trainable_mask,
-                                      init_drnmf_params)
-        from drnmf_tpu.pipeline import drnmf_config_from_params
         from drnmf_tpu.train import (TrainConfig, masked_mse_signal_approx,
                                      train_model)
-
-        if w_noisy is None:  # --skip snmf: random dictionary, same shapes
-            rng = np.random.default_rng(7654)
-            w_noisy = rng.uniform(
-                0.01, 1.0, (257, 2 * args.r)).astype(np.float32)
-            w_noisy /= np.sqrt(np.sum(w_noisy**2, axis=0))
-        config = drnmf_config_from_params(
-            {"K_layers": 5, "r": args.r, "alph": 400.0, "lam1": 1.0,
-             "params_untied": ["log_D", "log_alph"],
-             "params_trainable": ["log_D", "log_alph"]}, 257)
-        params = init_drnmf_params(config, np.asarray(w_noisy))
 
         def loss_fn(p, x, y, mask):
             irm = drnmf_apply(p, config, x)
@@ -221,42 +237,55 @@ def main():
                              batch_size=args.batch_size,
                              learning_rate=1e-3, patience=50, verbose=True)
             t0 = time.monotonic()
-            _, hist = train_model(
+            params, hist = train_model(
                 params, loss_fn, (xt, yt, mt), (xv, yv, mv), tc,
                 trainable_mask=drnmf_trainable_mask(config, params),
-                savefile=os.path.join(WORKDIR, "model_scale.npz"),
-                resume=True)
+                savefile=savefile, resume=True)
             wall = time.monotonic() - t0
-            report["stages"]["train"].update({
-                "epochs": args.epochs,
-                "steps_per_s": round(iters * args.epochs / wall, 2),
-                "epoch_s": round(wall / args.epochs, 1),
-                "final_loss":
-                    float(hist.history["on_epoch_end"]["loss"][-1]),
-            })
+            st = report["stages"]["train"]
+            if wall >= st.get("wall_s", 0.0):
+                # a resumed cache-replay (near-zero wall because the epochs
+                # already ran) must not overwrite the genuine throughput
+                st.update({
+                    "epochs": args.epochs,
+                    "steps_per_s": round(iters * args.epochs / wall, 2),
+                    "epoch_s": round(wall / args.epochs, 1),
+                    "final_loss":
+                        float(hist.history["on_epoch_end"]["loss"][-1]),
+                })
 
     # ---- 6. enhance the valid split ----------------------------------------
     if "enhance" not in skip:
-        from drnmf_tpu.models import drnmf_apply as _apply
         from drnmf_tpu.pipeline import predict_irm, reconstruct_split
+
+        if "train" in skip and os.path.exists(savefile):
+            from drnmf_tpu.train.checkpoint import load_checkpoint
+
+            params, _ = load_checkpoint(savefile)
 
         with stage("enhance"):
             audio_s = dataset_audio_seconds(datasets["valid"])
-            t0 = time.monotonic()
             # inference uses per-utterance full-length rows (maxlen=None),
             # exactly like run_unfolded_snmf's scoring path -- the
             # maxlen-500 training tensors are per-CHUNK rows and cannot be
-            # fed to reconstruct_split (one row per wav file required)
+            # fed to reconstruct_split (one row per wav file required).
+            # Featurize/cache-write happens BEFORE the RTF timer so the
+            # number matches bench.py's enhance definition (predict +
+            # reconstruct only).
             xf, _, mf = load_tensors(
                 datasets["valid"], params_data, None,
                 cache_path=os.path.join(WORKDIR, "tensors_valid_full.npz"))
+            t0 = time.monotonic()
             irm = predict_irm(
-                lambda p, x: _apply(p, config, x), params, xf,
+                lambda p, x: drnmf_apply(p, config, x), params, xf,
                 mask_value=config.mask_value)
             reconstruct_split(datasets["valid"], irm, mf, "scale_shakeout")
             wall = time.monotonic() - t0
+            # predict+reconstruct always run for real (only the featurize
+            # npz is cached), so no replay guard here
             report["stages"]["enhance"].update({
                 "audio_s": round(audio_s, 1),
+                "predict_reconstruct_s": round(wall, 1),
                 "rtf": round(audio_s / wall, 1),
             })
 

@@ -930,6 +930,7 @@ def test_paced_load_internal_stub():
     assert all(x > 0 for v in lat for x in v)  # replies after capture
     st = paced_stats(lat, 1024 / 16000.0)
     assert st["p50_ms"] < 128.0  # ~gather(16) + step(2) in the quiet case
-    assert st["blocks_served"] if "blocks_served" in st else True
+    assert st["p95_ms"] >= st["p50_ms"] and st["p99_ms"] >= st["p95_ms"]
+    assert st["keeps_up"]  # a 2 ms stub step at 64 ms blocks never drifts
     # paced (not full-speed): far fewer steps than S * n_blocks
     assert 2 < len(calls) - 2 <= 4 * n_blocks
