@@ -125,8 +125,12 @@ def main():
     stage("profile", profile, est_s=240)
     stage("snmf-ab", snmf_ab, est_s=180)
     stage("paced-slo", paced_slo, est_s=300)
-    stage("shakeout", shakeout, est_s=1800)
+    # bscale BEFORE shakeout: the study is bounded (~15-25 min) while the
+    # full-scale shakeout can absorb an hour+; shakeout's stages are
+    # individually cached so a budget cutoff still yields the early-stage
+    # measurements, whereas a skipped bscale yields nothing
     stage("bscale", bscale, est_s=600)
+    stage("shakeout", shakeout, est_s=900)
 
     real = {k: v for k, v in failures.items()
             if not v.startswith("skipped")}
