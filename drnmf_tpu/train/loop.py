@@ -448,7 +448,28 @@ def train_model(
                 **{k: np.asarray(v) for k, v in p.items()
                    if k not in frozen_np}}
 
-    best_params = snapshot(params)
+    # Disk-write cadence for the best checkpoint + resume state.  The
+    # per-epoch writes fetch every trainable param (and, for the state,
+    # both Adam moments) host-side -- behind the axon tunnel that is
+    # SECONDS per epoch, 30x the actual train compute on the flagship
+    # grid models.  DRNMF_STATE_EVERY=N writes every N epochs; the best
+    # params are tracked as DEVICE-side copies (jnp.copy, no transfer)
+    # and materialized only when a write is due or the fit exits (end /
+    # early stop / deadline), so a crash loses at most N-1 epochs of
+    # resume progress and nothing else.  Default 1 = the round-4
+    # every-epoch artifacts, byte-identical.
+    save_every = max(1, int(os.environ.get("DRNMF_STATE_EVERY", "1")))
+
+    best_params = snapshot(params)  # host dict until the first improvement
+    best_dirty = False  # best checkpoint on disk is stale
+
+    def materialize():
+        # best_params may hold device arrays (jnp.copy refs); fetch once
+        nonlocal best_params, best_dirty
+        if best_dirty:
+            best_params = snapshot(best_params)
+        return best_params
+
     wait = 0
     start_epoch = 0
 
@@ -612,19 +633,35 @@ def train_model(
 
         if val_loss < best_val:
             best_val = val_loss
-            best_params = snapshot(params)
-            if savefile is not None:
-                save_checkpoint(savefile, best_params, meta={"val_loss": best_val})
+            # device-side copy: no host fetch (params buffers are donated
+            # by the next step, so copy, don't alias)
+            best_params = {k: jnp.copy(v) for k, v in params.items()}
+            best_dirty = True
             wait = 0
         else:
             wait += 1
 
-        if state_file:
-            _save_train_state(state_file, epoch, params, opt_state,
-                              best_params, best_val, wait, global_step,
-                              trainable_mask=trainable_mask)
+        stopping = wait > train_config.patience
+        deadline = float(os.environ.get("DRNMF_TRAIN_DEADLINE_TS", "0"))
+        deadline_hit = (state_file and deadline and time.time() > deadline
+                        and epoch + 1 < train_config.epochs)
+        write_due = (stopping or deadline_hit
+                     or (epoch + 1) % save_every == 0
+                     or epoch + 1 == train_config.epochs)
 
-        if wait > train_config.patience:
+        if write_due:
+            if best_dirty:
+                materialize()
+                if savefile is not None:
+                    save_checkpoint(savefile, best_params,
+                                    meta={"val_loss": best_val})
+                best_dirty = False
+            if state_file:
+                _save_train_state(state_file, epoch, params, opt_state,
+                                  best_params, best_val, wait, global_step,
+                                  trainable_mask=trainable_mask)
+
+        if stopping:
             if train_config.verbose:
                 print(f"early stopping at epoch {epoch + 1}")
             if state_file:
@@ -637,9 +674,7 @@ def train_model(
                                   trainable_mask=trainable_mask)
             break
 
-        deadline = float(os.environ.get("DRNMF_TRAIN_DEADLINE_TS", "0"))
-        if (state_file and deadline and time.time() > deadline
-                and epoch + 1 < train_config.epochs):
+        if deadline_hit:
             raise TrainingDeadline(
                 f"training deadline passed at epoch {epoch + 1}/"
                 f"{train_config.epochs}; state saved — resume to continue")
@@ -649,4 +684,4 @@ def train_model(
         # (enhance.py:1159-1160)
         save_checkpoint(savefile, best_params, meta={"val_loss": np.inf})
 
-    return best_params, history
+    return materialize(), history

@@ -212,6 +212,58 @@ def test_train_resume_exact_continuation(tmp_path, rng):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_periodic_state_save_same_result(tmp_path, rng, monkeypatch):
+    """DRNMF_STATE_EVERY=N (write the best checkpoint + resume state every
+    N epochs instead of every epoch -- the per-epoch host fetch is seconds
+    behind the TPU tunnel) changes ONLY disk-write cadence: the returned
+    best params, the final best checkpoint, and an exact resume from the
+    last written epoch all match the every-epoch run."""
+    import numpy as np
+    import jax.numpy as jnp
+    from drnmf_tpu.train import TrainConfig, train_model, load_checkpoint
+
+    n, t, f = 12, 6, 5
+    x = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    y = rng.uniform(0, 1, (n, t, f)).astype(np.float32)
+    mask = np.ones((n, t), np.float32)
+    params0 = {"w": jnp.zeros((f, f), jnp.float32),
+               "b": jnp.zeros((f,), jnp.float32)}
+
+    def loss_fn(p, xb, yb, mb):
+        pred = xb @ p["w"] + p["b"]
+        return jnp.mean((pred - yb) ** 2)
+
+    def run(save, epochs):
+        return train_model(
+            dict(params0), loss_fn, (x, y, mask), (x, y, mask),
+            TrainConfig(epochs=epochs, batch_size=4, learning_rate=1e-2,
+                        verbose=False),
+            savefile=save, resume=True,
+        )
+
+    every, _ = run(str(tmp_path / "every.npz"), 6)
+
+    monkeypatch.setenv("DRNMF_STATE_EVERY", "4")
+    periodic, _ = run(str(tmp_path / "periodic.npz"), 6)
+    for k in every:
+        np.testing.assert_allclose(np.asarray(periodic[k]),
+                                   np.asarray(every[k]), rtol=1e-6)
+    # the final best checkpoint was flushed despite the cadence
+    ck, _ = load_checkpoint(str(tmp_path / "periodic.npz"))
+    for k in every:
+        np.testing.assert_allclose(ck[k], np.asarray(every[k]), rtol=1e-6)
+
+    # interrupt after 3 epochs (state on disk = epoch 4's write? no --
+    # epochs=3 < cadence 4, so the end-of-fit flush wrote epoch 3), then
+    # resume to 6: same result as the uninterrupted periodic run
+    run(str(tmp_path / "part.npz"), 3)
+    assert (tmp_path / "part.npz.train_state").exists()
+    resumed, _ = run(str(tmp_path / "part.npz"), 6)
+    for k in every:
+        np.testing.assert_allclose(np.asarray(resumed[k]),
+                                   np.asarray(every[k]), rtol=1e-6)
+
+
 def test_snmf_cache_path_ignores_execution_knobs():
     from drnmf_tpu.ops import SNMFParams
     from drnmf_tpu.utils.cache import snmf_cache_path
