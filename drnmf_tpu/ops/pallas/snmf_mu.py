@@ -25,13 +25,25 @@ Frames are zero-padded to the tile size; padded columns contribute h'=0 and
 a divergence bias of ``m * pad * flr**2`` (~1e-13, below f32 resolution of
 the objective).
 
-STATUS (measured on v5e, r=2000/F=257/140k frames): 38.8 iters/s vs the XLA
-core's 60.2.  The per-tile chain of six *dependent* small matmuls
-((257,2000)x(2000,128)) is MXU-latency-bound at the 128-frame tile the
-16 MB VMEM budget allows (W + A/B scratch are ~6 MB resident); XLA's global
-schedule overlaps the same products across the whole frame axis.  Kept as a
-parity-tested experimental path (``SNMFParams.use_pallas``); the XLA core
-remains the default.
+STATUS — TRACK CLOSED (round 5).  Measured on v5e, r=2000/F=257/140k
+frames: round-4 f32 kernel 38.8 iters/s vs the XLA core's 60.2; the
+round-5 bf16-MXU variant (this file, ``bf16=True`` default: cast matmul
+inputs to bf16 so each product is a single MXU pass, matching XLA's
+DEFAULT-precision class) measured **17.2 iters/s at TN=128** — slower
+than its own f32 predecessor — and the TN=256 sweep failed to compile on
+the axon toolchain (AOT PJRT internal error).  Post-mortem: the kernel's
+per-tile chain of six *dependent* small matmuls ((257,2000)x(2000,128))
+is MXU-LATENCY-bound, not precision-bound, so halving per-pass cost
+cannot help — the dependent chain just waits on shorter passes while the
+bf16 casts add VPU work and the f32<->bf16 copies add VMEM traffic.  The
+16 MB VMEM budget caps the frame tile at 128 (W + A/B scratch are ~6 MB
+resident; TN=512 via raised vmem_limit spills to HBM, 2.5x slower), and
+at that tile there is nothing left to overlap WITHIN the kernel, whereas
+XLA's global schedule overlaps the same products across the whole
+140k-frame axis.  A fused one-kernel MU update cannot beat the compiler
+here at any tile size this hardware admits; the XLA core is and stays
+the production path.  Kept as a parity-tested experimental path
+(``SNMFParams.use_pallas``, ``DRNMF_PALLAS_MU_TN``).
 """
 
 from functools import partial
