@@ -656,7 +656,9 @@ def train_model(
                     save_checkpoint(savefile, best_params,
                                     meta={"val_loss": best_val})
                 best_dirty = False
-            if state_file:
+            # on early stop the finished=True write below supersedes this
+            # one -- don't pay the multi-second param/opt fetch twice
+            if state_file and not stopping:
                 _save_train_state(state_file, epoch, params, opt_state,
                                   best_params, best_val, wait, global_step,
                                   trainable_mask=trainable_mask)

@@ -91,6 +91,9 @@ def main():
     t_start = time.time()
     deadline = t_start + args.budget_s
     os.environ["DRNMF_TRAIN_DEADLINE_TS"] = repr(deadline)
+    # periodic checkpoint/state writes: the per-epoch host fetch costs
+    # seconds behind the tunnel (train/loop.py DRNMF_STATE_EVERY)
+    os.environ.setdefault("DRNMF_STATE_EVERY", "16")
 
     os.makedirs(WORKDIR, exist_ok=True)
     os.chdir(WORKDIR)  # experiment dirs (data_setup_*) land here

@@ -11,12 +11,14 @@ order:
   3. paced-slo — the server-internal paced SLO table (VERDICT r4 next
      #9): 32@152ms / 64@152ms / 64@536ms without client-side process
      starvation.
-  4. shakeout  — the CHiME2-scale end-to-end measurement
+  4. bscale    — the seeded batch-scaling study (VERDICT r4 next #6,
+     B=256 STOI regression).  Bounded, so it runs BEFORE the
+     open-ended shakeout.
+  5. shakeout  — the CHiME2-scale end-to-end measurement
      (scripts/scale_shakeout.py, VERDICT r4 next #2): 7,138 train
-     utterances, featurize + SNMF dictionary + ONE flagship epoch +
-     enhancement, wall-clock per stage.
-  5. bscale    — the seeded batch-scaling study (VERDICT r4 next #6,
-     B=256 STOI regression), budget permitting.
+     utterances, featurize + ONE flagship epoch + enhancement + SNMF
+     dictionary, wall-clock per stage; absorbs the remaining budget
+     (its stages are individually cached).
 
 Usage: python scripts/r5_session.py [--budget-s 10800] [--skip NAMES]
          [--shakeout-files 7138] [--bscale-epochs 300]
@@ -44,6 +46,9 @@ def main():
     t_start = time.time()
     deadline = t_start + args.budget_s
     os.environ["DRNMF_TRAIN_DEADLINE_TS"] = repr(deadline)
+    # periodic checkpoint/state writes: the per-epoch host fetch costs
+    # seconds behind the tunnel (train/loop.py DRNMF_STATE_EVERY)
+    os.environ.setdefault("DRNMF_STATE_EVERY", "16")
 
     import bench
 

@@ -12,12 +12,15 @@ by stage on-chip, measuring wall-clock and peak host RSS per stage:
   1. corpus     wav synthesis + writes (host)
   2. featurize  AudioDataset device STFT featurizer + HDF5 cache
   3. tensorize  maxlen-500 chunking -> (n_seq, 500, 257) tensors + npz
-  4. snmf       two-stage dictionary (r=1000) through the chunked MU
-                driver (the snmf.py:33-36 frame_batch_size regime)
-  5. train      ONE epoch of the flagship DR-NMF (B=32) through the
-                production loop (device-resident fusion or the streaming
-                host path, whichever the size triggers -- reported)
-  6. enhance    predict+reconstruct a 240-file valid split (RTF)
+  4. train      ONE epoch of the flagship DR-NMF (B=32) through the
+                production loop, from a random unit-L2 dictionary of
+                the production shape (identical FLOPs to a trained one)
+  5. enhance    predict+reconstruct a 240-file valid split (RTF)
+  6. snmf       two-stage dictionary (r=1000) through the chunked MU
+                driver (the snmf.py:33-36 frame_batch_size regime) --
+                LAST because it is the open-ended stage; its iteration
+                count shrinks (floor min(50, cap)) when the session
+                deadline leaves less than a full solve needs
 
 Each stage is cached/idempotent, so an interrupted run resumes.  Results
 append to runs/scale_r5/shakeout.json; the summary table goes to
@@ -237,7 +240,7 @@ def main():
                         float(hist.history["on_epoch_end"]["loss"][-1]),
                 })
 
-    # ---- 6. enhance the valid split ----------------------------------------
+    # ---- 5. enhance the valid split ----------------------------------------
     if "enhance" not in skip:
         from drnmf_tpu.pipeline import predict_irm, reconstruct_split
 
@@ -285,6 +288,7 @@ def main():
         from drnmf_tpu.train.snmf_recipe import train_snmf
 
         max_iter = args.snmf_max_iter
+        floor = min(50, args.snmf_max_iter)  # never exceed the user's cap
         deadline = float(os.environ.get("DRNMF_TRAIN_DEADLINE_TS", "0"))
         if deadline:
             left = deadline - time.time()
@@ -294,8 +298,12 @@ def main():
                 np.sum(mt > 0) / 140_000.0))) * 2
             full_est = n_chunks * 18.5 * (max_iter / 1000.0)
             if left < full_est:
-                max_iter = int(max(50, min(
-                    max_iter, (left / max(full_est, 1e-9)) * max_iter)))
+                # even past the deadline, run AT THE FLOOR: the point of
+                # the stage is exercising the chunked recipe at scale, and
+                # a skipped stage measures nothing
+                max_iter = int(max(floor, min(
+                    max_iter, (max(left, 0.0) / max(full_est, 1e-9))
+                    * max_iter)))
                 print(f"[shakeout] snmf: budget {left:.0f}s < est "
                       f"{full_est:.0f}s at {args.snmf_max_iter} iters -> "
                       f"max_iter {max_iter}", flush=True)
@@ -305,9 +313,12 @@ def main():
         with stage("snmf"):
             x_frames = masked_seqs_to_frames(xt, mt)
             y_frames = masked_seqs_to_frames(yt, mt)
-            report["stages"]["snmf"].update(
-                {"n_frames": int(x_frames.shape[1]), "r": args.r,
-                 "max_iter": max_iter})
+            st = report["stages"]["snmf"]
+            st.update({"n_frames": int(x_frames.shape[1]), "r": args.r})
+            if "wall_s" not in st:  # first REAL run labels the wall-clock
+                st["max_iter"] = max_iter
+            else:  # dict-cache replay must not relabel the measurement
+                st["rerun_max_iter"] = max_iter
             train_snmf(
                 y_frames, x_frames, params_snmf,
                 path_dicts=os.path.join(WORKDIR, "dicts") + "/",
