@@ -93,32 +93,49 @@ def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False)
         cursor += nf
         fidx[i, 1] = cursor
 
+    # fixed-shape batch chunks: each (chunk_B, total_len) pair is one
+    # compiled program, with chunk_B restricted to pow2 <= FEAT_BATCH --
+    # a 7k-file corpus otherwise compiles a fresh program per bucket's
+    # exact file count, and every cold compile behind the axon tunnel
+    # costs minutes (the round-5 full-scale shakeout's featurize wall)
+    feat_batch = max(1, int(os.environ.get("DRNMF_FEAT_BATCH", "64")))
     for total_len, idxs in sorted(buckets.items()):
-        batch = np.zeros((len(idxs), nch, total_len), np.float32)
-        for row, i in enumerate(idxs):
-            xp = np.asarray(
-                pad_signal(jnp.asarray(signals[i]), n_fft, hop, total=total_len)
-            )
-            batch[row] = xp
-        # complex arrays cross the host boundary as f32 real/imag pairs
-        # (complex DMA is unimplemented on some TPU transports)
-        spec = from_device_complex(stft_frames(jnp.asarray(batch), window, n_fft, hop))
-        # spec: (B, nch, n_frames_bucket, F)
-        for row, i in enumerate(idxs):
-            nf = nframes[i]
-            s = spec[row, :, :nf, :]  # (nch, nf, F)
-            if flag_unwrap_phase:
-                from ..dsp.phase import remove_hop_phase
+        pos = 0
+        while pos < len(idxs):
+            n_rows = min(feat_batch, len(idxs) - pos)
+            b = 1 << (n_rows - 1).bit_length()  # pow2 ceil
+            chunk = idxs[pos : pos + n_rows]
+            batch = np.zeros((b, nch, total_len), np.float32)
+            for row, i in enumerate(chunk):
+                # reference padding = n_fft zeros left + zeros to the
+                # bucket right (pad_signal semantics) -- the batch is
+                # already zeros, so this is a pure host slice-assign.
+                # (Calling the jnp pad_signal here cost TWO tunnel
+                # round-trips PER FILE: hours at 7k-file corpus scale --
+                # the round-5 shakeout's featurize wall.)
+                x = np.asarray(signals[i], np.float32)
+                batch[row, :, n_fft : n_fft + x.shape[-1]] = x
+            # complex arrays cross the host boundary as f32 real/imag
+            # pairs (complex DMA is unimplemented on some TPU transports)
+            spec = from_device_complex(
+                stft_frames(jnp.asarray(batch), window, n_fft, hop))
+            # spec: (B, nch, n_frames_bucket, F); padded rows discarded
+            for row, i in enumerate(chunk):
+                nf = nframes[i]
+                s = spec[row, :, :nf, :]  # (nch, nf, F)
+                if flag_unwrap_phase:
+                    from ..dsp.phase import remove_hop_phase
 
-                s = from_device_complex(
-                    remove_hop_phase(to_device_complex(s), n_fft, hop)
-                )
-            # reference layout: (F, nch, nfram) -> (nch*F, nfram) Fortran order
-            # == channel-major stacking of F-rows; equivalently for nch==1 it
-            # is just (F, nfram).
-            s = np.transpose(s, (0, 2, 1)).reshape(nch * f_bins, nf)
-            stack[: nch * f_bins, fidx[i, 0] : fidx[i, 1]] = s.real
-            stack[nch * f_bins :, fidx[i, 0] : fidx[i, 1]] = s.imag
+                    s = from_device_complex(
+                        remove_hop_phase(to_device_complex(s), n_fft, hop)
+                    )
+                # reference layout: (F, nch, nfram) -> (nch*F, nfram)
+                # Fortran order == channel-major stacking of F-rows;
+                # equivalently for nch==1 it is just (F, nfram).
+                s = np.transpose(s, (0, 2, 1)).reshape(nch * f_bins, nf)
+                stack[: nch * f_bins, fidx[i, 0] : fidx[i, 1]] = s.real
+                stack[nch * f_bins :, fidx[i, 0] : fidx[i, 1]] = s.imag
+            pos += n_rows
         if verbose:
             print(f"  featurized {len(idxs)} files at bucket {total_len}")
 

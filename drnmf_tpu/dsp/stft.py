@@ -85,8 +85,26 @@ SAMPLE_BUCKET = 32768  # ~2 s at 16 kHz: one compiled program per bucket
 def bucket_total(nsampl: int, n_fft: int, hop: int,
                  bucket: int = SAMPLE_BUCKET) -> int:
     """padded_length rounded up to the sample-bucket grid (bounds the
-    number of compiled programs across a corpus of arbitrary lengths)."""
-    return -(-padded_length(nsampl, n_fft, hop) // bucket) * bucket
+    number of compiled programs across a corpus of arbitrary lengths).
+
+    The grid is linear (1, 2, 3, 4 buckets) up to 4 buckets, then
+    half-octave geometric (4, 6, 8, 12, 16, 24, ... buckets): every cold
+    compile behind the axon tunnel costs MINUTES regardless of program
+    size, so at corpus scale the number of distinct shapes — not the
+    padding waste (bounded at 33% on the geometric arm) — dominates
+    featurization wall-clock.  Padded frames past a file's true count
+    are discarded by the callers (fidx / per-file nframes)."""
+    n = -(-padded_length(nsampl, n_fft, hop) // bucket)
+    if n > 4:
+        # next value in {4, 6, 8, 12, 16, 24, ...}: pow2 and 1.5*pow2
+        p = 4
+        while p < n:
+            if p + p // 2 >= n:
+                p = p + p // 2
+                break
+            p *= 2
+        n = max(p, n)  # (p >= n by construction; max is belt-and-braces)
+    return n * bucket
 
 
 def n_frames_for_length(nsampl: int, n_fft: int, hop: int) -> int:

@@ -51,13 +51,15 @@ def enhance_signals(params, config: DRNMFConfig, signals, n_fft: int = 512,
     out = []
     for start in range(0, len(signals), batch_size):
         chunk = signals[start : start + batch_size]
-        # shared sample-bucket grid (zero tail enhances to zeros)
+        # shared sample-bucket grid (zero tail enhances to zeros);
+        # pad on HOST (pad_signal = zeros either side -- a per-signal
+        # device pad costs two tunnel round-trips per file)
         total = max(bucket_total(len(s), n_fft, hop) for s in chunk)
-        batch = jnp.stack([
-            pad_signal(jnp.asarray(np.asarray(s, np.float32)), n_fft, hop,
-                       total=total)
-            for s in chunk
-        ])
+        batch_np = np.zeros((len(chunk), total), np.float32)
+        for row, s in enumerate(chunk):
+            x = np.asarray(s, np.float32)
+            batch_np[row, n_fft : n_fft + x.shape[-1]] = x
+        batch = jnp.asarray(batch_np)
         y = np.asarray(enhance(params, batch))
         for row, s in zip(y, chunk):
             out.append(row[n_fft:-n_fft][: len(s)])
