@@ -167,6 +167,45 @@ def test_pad_axis_to_n():
     assert np.all(out[:, 3:] == -1.0)
 
 
+def test_featurize_bounded_device_dispatches(tmp_path, rng, monkeypatch):
+    """compute_stfts issues ONE device program per fixed-shape batch chunk
+    (pow2 rows <= DRNMF_FEAT_BATCH) -- never per file -- and pads on host.
+    7,138-file corpora behind the TPU tunnel hang for hours otherwise
+    (round-5 shakeout finding): a per-file jnp pad is two round-trips per
+    file, and a per-bucket exact-count batch is a fresh multi-minute XLA
+    compile per corpus."""
+    from drnmf_tpu.dsp import wavwrite
+    from drnmf_tpu.data import dataset as ds_mod
+
+    n_fft, hop = 256, 64
+    files = []
+    for i in range(9):  # same length -> one bucket
+        p = tmp_path / f"f{i}.wav"
+        wavwrite(str(p), 16000,
+                 (rng.standard_normal(3000) * 0.2).astype(np.float32)[None])
+        files.append(str(p))
+
+    calls = []
+    real = ds_mod.stft_frames
+
+    def counting(batch, window, n, h):
+        calls.append(tuple(batch.shape))
+        return real(batch, window, n, h)
+
+    monkeypatch.setattr(ds_mod, "stft_frames", counting)
+    monkeypatch.setenv("DRNMF_FEAT_BATCH", "4")
+    stack, fidx = ds_mod.compute_stfts(files, {"N": n_fft, "hop": hop,
+                                               "nch": 1})
+    # 9 equal-length files at chunk cap 4 -> chunks of 4, 4, 1 (pow2 rows)
+    assert [c[0] for c in calls] == [4, 4, 1]
+    # correctness unchanged: single-file featurization matches row-for-row
+    monkeypatch.setattr(ds_mod, "stft_frames", real)
+    one, _ = ds_mod.compute_stfts(files[:1], {"N": n_fft, "hop": hop,
+                                              "nch": 1})
+    np.testing.assert_allclose(stack[:, : fidx[0, 1]], one, rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_multichannel_stack_layout(tmp_path, rng):
     """nch=2 featurization stacks channels channel-major ((F rows of ch0,
     then F rows of ch1), the reference's F-major 'F'-order reshape,
