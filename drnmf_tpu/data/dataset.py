@@ -28,10 +28,8 @@ import numpy as np
 from ..dsp import wavread, wavwrite, sqrt_hann_periodic
 from ..dsp.stft import (
     stft_frames,
-    pad_signal,
     bucket_total as _bucket_total,
     n_frames_for_length,
-    to_device_complex,
     from_device_complex,
 )
 
@@ -86,9 +84,7 @@ def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False)
         buckets.setdefault(_bucket_total(x.shape[1], n_fft, hop), []).append(i)
 
     cursor = 0
-    starts = np.zeros(len(signals), np.int64)
     for i, nf in enumerate(nframes):
-        starts[i] = cursor
         fidx[i, 0] = cursor
         cursor += nf
         fidx[i, 1] = cursor
@@ -97,14 +93,18 @@ def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False)
     # compiled program, with chunk_B restricted to pow2 <= FEAT_BATCH --
     # a 7k-file corpus otherwise compiles a fresh program per bucket's
     # exact file count, and every cold compile behind the axon tunnel
-    # costs minutes (the round-5 full-scale shakeout's featurize wall)
+    # costs minutes (the round-5 full-scale shakeout's featurize wall).
+    # The cap is floored to a pow2 so configured memory bounds are honored
+    # exactly, and remainders split into descending pow2 chunks so no dead
+    # padded rows are computed or fetched over the tunnel.
     feat_batch = max(1, int(os.environ.get("DRNMF_FEAT_BATCH", "64")))
+    feat_batch = 1 << (feat_batch.bit_length() - 1)  # pow2 floor
     for total_len, idxs in sorted(buckets.items()):
         pos = 0
         while pos < len(idxs):
-            n_rows = min(feat_batch, len(idxs) - pos)
-            b = 1 << (n_rows - 1).bit_length()  # pow2 ceil
-            chunk = idxs[pos : pos + n_rows]
+            remaining = len(idxs) - pos
+            b = min(feat_batch, 1 << (remaining.bit_length() - 1))
+            chunk = idxs[pos : pos + b]
             batch = np.zeros((b, nch, total_len), np.float32)
             for row, i in enumerate(chunk):
                 # reference padding = n_fft zeros left + zeros to the
@@ -115,27 +115,31 @@ def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False)
                 # the round-5 shakeout's featurize wall.)
                 x = np.asarray(signals[i], np.float32)
                 batch[row, :, n_fft : n_fft + x.shape[-1]] = x
+            dev = stft_frames(jnp.asarray(batch), window, n_fft, hop)
+            if flag_unwrap_phase:
+                from ..dsp.phase import remove_hop_phase
+
+                # hop-phase removal is causal along the frame axis (unwrap
+                # = cumsum of wrapped diffs from frame 0), so applying it
+                # to the whole left-aligned (b, nch, T, F) chunk and then
+                # slicing the first nf frames per file equals the
+                # reference's per-file application (util.py:338-344) --
+                # one device op per chunk, not two transfers per file.
+                dev = remove_hop_phase(dev, n_fft, hop)
             # complex arrays cross the host boundary as f32 real/imag
             # pairs (complex DMA is unimplemented on some TPU transports)
-            spec = from_device_complex(
-                stft_frames(jnp.asarray(batch), window, n_fft, hop))
-            # spec: (B, nch, n_frames_bucket, F); padded rows discarded
+            spec = from_device_complex(dev)
+            # spec: (B, nch, n_frames_bucket, F)
             for row, i in enumerate(chunk):
                 nf = nframes[i]
                 s = spec[row, :, :nf, :]  # (nch, nf, F)
-                if flag_unwrap_phase:
-                    from ..dsp.phase import remove_hop_phase
-
-                    s = from_device_complex(
-                        remove_hop_phase(to_device_complex(s), n_fft, hop)
-                    )
                 # reference layout: (F, nch, nfram) -> (nch*F, nfram)
                 # Fortran order == channel-major stacking of F-rows;
                 # equivalently for nch==1 it is just (F, nfram).
                 s = np.transpose(s, (0, 2, 1)).reshape(nch * f_bins, nf)
                 stack[: nch * f_bins, fidx[i, 0] : fidx[i, 1]] = s.real
                 stack[nch * f_bins :, fidx[i, 0] : fidx[i, 1]] = s.imag
-            pos += n_rows
+            pos += b
         if verbose:
             print(f"  featurized {len(idxs)} files at bucket {total_len}")
 

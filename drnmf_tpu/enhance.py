@@ -11,7 +11,7 @@ full experiment flow (caches, scoring) see :mod:`drnmf_tpu.pipeline`.
 import jax
 import jax.numpy as jnp
 
-from .dsp.stft import stft_frames, istft_frames, pad_signal, bucket_total
+from .dsp.stft import stft_frames, istft_frames, bucket_total
 from .dsp.windows import sqrt_hann_periodic
 from .models.drnmf import DRNMFConfig, drnmf_forward
 

@@ -206,6 +206,34 @@ def test_featurize_bounded_device_dispatches(tmp_path, rng, monkeypatch):
                                atol=1e-6)
 
 
+def test_featurize_unwrap_phase_chunked_matches_per_file(tmp_path, rng,
+                                                         monkeypatch):
+    """flag_unwrap_phase applied once per device chunk equals the
+    reference's per-file application (util.py:338-344): hop-phase removal
+    is causal along frames, so batching over left-aligned padded rows and
+    slicing the first nf frames is exact."""
+    from drnmf_tpu.dsp import wavwrite
+    from drnmf_tpu.data.dataset import compute_stfts
+
+    n_fft, hop = 256, 64
+    files = []
+    for i in range(3):  # varied lengths -> padded rows inside one bucket
+        p = tmp_path / f"u{i}.wav"
+        wavwrite(str(p), 16000,
+                 (rng.standard_normal(2800 + 130 * i) * 0.2)
+                 .astype(np.float32)[None])
+        files.append(str(p))
+
+    monkeypatch.setenv("DRNMF_FEAT_BATCH", "4")
+    stack, fidx = compute_stfts(files, {"N": n_fft, "hop": hop, "nch": 1},
+                                flag_unwrap_phase=True)
+    for i, f in enumerate(files):
+        one, _ = compute_stfts([f], {"N": n_fft, "hop": hop, "nch": 1},
+                               flag_unwrap_phase=True)
+        np.testing.assert_allclose(stack[:, fidx[i, 0]: fidx[i, 1]], one,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_multichannel_stack_layout(tmp_path, rng):
     """nch=2 featurization stacks channels channel-major ((F rows of ch0,
     then F rows of ch1), the reference's F-major 'F'-order reshape,
