@@ -33,7 +33,6 @@ from .stoi import (
     FRAME,
     FS_STOI,
     HOP,
-    N_BANDS,
     N_FFT,
     SEG_FRAMES,
     _H_BANDS,

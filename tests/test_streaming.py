@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from drnmf_tpu.dsp import stft, istft, sqrt_hann_periodic
+from drnmf_tpu.dsp import stft, istft
 from drnmf_tpu.models import DRNMFConfig, init_drnmf_params
 from drnmf_tpu.models.drnmf import drnmf_forward
 from drnmf_tpu.streaming import StreamingEnhancer

@@ -114,8 +114,6 @@ def test_keras_decay_schedule():
     tc = TrainConfig(learning_rate=1.0, decay=0.5)
     opt = make_optimizer(tc)
     # schedule is embedded; validate by applying updates to a simple param
-    import optax
-
     params = {"w": jnp.ones(3)}
     state = opt.init(params)
     g = {"w": jnp.ones(3)}
