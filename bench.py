@@ -933,6 +933,7 @@ def bench_snmf():
     pallas = {}
     p_params = SNMFParams(r=r2, cf="ed", sparsity=1.0, max_iter=n_iter,
                           conv_eps=0.0, random_seed=2016, use_pallas=True)
+    prev_tn = os.environ.get("DRNMF_PALLAS_MU_TN")
     for tn in (128, 256):
         os.environ["DRNMF_PALLAS_MU_TN"] = str(tn)
         try:
@@ -945,7 +946,10 @@ def bench_snmf():
             tail = str(e).splitlines()[-1][:120] if str(e) else ""
             pallas[f"pallas_bf16_tn{tn}_iters_per_s"] = (
                 f"failed: {type(e).__name__}: {tail}")
-    os.environ.pop("DRNMF_PALLAS_MU_TN", None)
+    if prev_tn is None:
+        os.environ.pop("DRNMF_PALLAS_MU_TN", None)
+    else:  # restore a caller-set tile size (the sweep must not leak)
+        os.environ["DRNMF_PALLAS_MU_TN"] = prev_tn
 
     print(json.dumps({
         "metric": "snmf_mu_iterations_per_second",

@@ -125,53 +125,74 @@ def _engine_bucket(est_c, ref_c, est_off, ref_off, lengths, ridge,
         axis=1)
 
 
+def _as_f32(x, n):
+    """Host-side row normalization: slice to ``n`` samples and apply the
+    SAME int16 dequant rule the device program uses (x / 32768); float
+    entries pass through as float32."""
+    arr = np.asarray(x[:n])
+    if arr.dtype == np.int16:
+        return arr.astype(np.float32) * np.float32(1.0 / 32768.0)
+    return np.asarray(arr, np.float32)
+
+
 def _score_pass(work, S, delays, flen, frame_len, fs, compute_pesq,
-                slice_fn, commit_delay):
+                slice_fn, commit_delay, bucket_fn=None, fused_fn=None):
     """One full engine pass over ``work`` (a list of bucket items
     ``[nfft, idxs, (est_c, ref_c, est_off, ref_off, lengths_j), mask,
     cache]``): the merged six-metric program at the base ridge, then
-    ridge-escalation retry rounds dispatching only the fused family, then
-    the exact per-file host SDR fallback (``slice_fn(i)`` supplies the
-    possibly-shifted host signals).  Commits finished rows into ``S`` (and
-    ``delays`` when ``commit_delay``) and clears them from each item's
-    pending mask.  All first-pass programs are dispatched before any
-    result fetch (each fetch is a blocking tunnel round trip)."""
+    ridge-escalation retry rounds (1e-7 -> 1e-5 -> 1e-3) dispatching only
+    the fused family, then the exact per-file host SDR fallback
+    (``slice_fn(i)`` supplies the possibly-shifted host signals).  Commits
+    finished rows into ``S`` (and ``delays`` when ``commit_delay``) and
+    clears them from each item's pending mask.  All first-pass programs
+    are dispatched before any result fetch (each fetch is a blocking
+    tunnel round trip).
+
+    ``bucket_fn(w, ridge)`` / ``fused_fn(w, ridge)`` override the device
+    dispatches (metrics/sharded.py routes them through shard_mapped SPMD
+    programs); they must return results WITHOUT fetching so dispatch stays
+    async across buckets.  Result/index/mask arrays may have any leading
+    shape (the engine uses (B, ...), the sharded path (D, Bs, ...)) --
+    every merge/commit below indexes with boolean masks, which numpy
+    flattens identically for either rank."""
+    if bucket_fn is None:
+        def bucket_fn(w, ridge):
+            return _engine_bucket(*w[2], jnp.float32(ridge), nfft=w[0],
+                                  flen=flen, frame_len=frame_len, fs=fs,
+                                  compute_pesq=compute_pesq)
+    if fused_fn is None:
+        def fused_fn(w, ridge):
+            return _fused_packed_any(*w[2], jnp.float32(ridge), nfft=w[0],
+                                     flen=flen, frame_len=frame_len)
 
     def _commit(w, vals, rows):
         S[w[1][rows]] = vals[rows, :6]
         if commit_delay:
             delays[w[1][rows]] = np.round(vals[rows, 6]).astype(np.int64)
 
-    first = [
-        (w, _engine_bucket(*w[2], jnp.float32(1e-7), nfft=w[0],
-                           flen=flen, frame_len=frame_len, fs=fs,
-                           compute_pesq=compute_pesq))
-        for w in work
-    ]
+    first = [(w, bucket_fn(w, 1e-7)) for w in work]
     for w, res in first:
         # np.array (not asarray): the retry merge writes columns in place,
         # and asarray of a jax array is a read-only view
-        w[4] = np.array(res)  # (B, 7), kept for the retry merges
-        newly = w[3] & np.isfinite(w[4][:, 0])
+        w[4] = np.array(res)  # (..., 7), kept for the retry merges
+        newly = w[3] & np.isfinite(w[4][..., 0])
         _commit(w, w[4], newly)
         w[3] = w[3] & ~newly
 
     # ridge escalation: only the fused family depends on the ridge, so
-    # retries dispatch the cheaper _fused_packed_any and merge with the
-    # first pass's PESQ/STOI/delay columns.
+    # retries dispatch the cheaper fused program and merge with the first
+    # pass's PESQ/STOI/delay columns.
     for ridge in (1e-5, 1e-3):
-        pending = [
-            (w, _fused_packed_any(*w[2], jnp.float32(ridge), nfft=w[0],
-                                  flen=flen, frame_len=frame_len))
-            for w in work if w[3].any()
-        ]
+        pending = [(w, fused_fn(w, ridge)) for w in work if w[3].any()]
         if not pending:
             break
         for w, res in pending:
             vals = w[4]
-            vals[:, :4] = np.stack([np.asarray(r) for r in res], axis=1)
+            if isinstance(res, tuple):  # per-metric arrays -> columns
+                res = np.stack([np.asarray(r) for r in res], axis=-1)
+            vals[..., :4] = np.asarray(res)
             need = w[3]
-            newly = need & np.isfinite(vals[:, 0])
+            newly = need & np.isfinite(vals[..., 0])
             _commit(w, vals, newly)
             need &= ~newly
             if need.any() and ridge == 1e-3:
@@ -221,12 +242,7 @@ def score_all_packed(est_list, ref_list, fs: int = 16000,
     is_i16 = all(np.asarray(x).dtype == np.int16 for x in est_list) and all(
         np.asarray(x).dtype == np.int16 for x in ref_list)
     pack_dtype = np.int16 if is_i16 else np.float32
-
-    def as_f32(x, n):
-        arr = np.asarray(x[:n])
-        if arr.dtype == np.int16:
-            return arr.astype(np.float32) * np.float32(1.0 / 32768.0)
-        return np.asarray(arr, np.float32)
+    as_f32 = _as_f32
 
     work = []  # [nfft, idx array, device args, pending mask, result cache]
     for nfft, idxs in sorted(buckets.items()):

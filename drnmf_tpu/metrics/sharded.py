@@ -18,9 +18,10 @@ Design notes:
   (rows AND concat bytes) so the program is one static-shape SPMD
   dispatch.  Dummy rows carry length 0 and are masked out host-side.
 - The per-row math is byte-identical to the single-chip engine: same
-  bucketing rule, same ``_engine_bucket`` body per shard, same ridge
-  escalation ladder and per-file host SDR fallback -- a CPU-mesh parity
-  test pins sharded == engine scores exactly.
+  bucketing rule, same ``_engine_bucket`` body per shard, and the ladder
+  (ridge escalation + per-file host SDR fallback) IS the engine's own
+  ``_score_pass`` with the device dispatches swapped for the shard_mapped
+  programs -- a CPU-mesh parity test pins sharded == engine exactly.
 - ``align="guard"`` rows whose on-device delay estimate is nonzero are
   re-scored through the single-chip engine's full compensation machinery
   (rare by construction: the in-repo mask pipeline is sample-aligned).
@@ -35,8 +36,8 @@ from jax.sharding import PartitionSpec as P
 
 shard_map = jax.shard_map
 
-from .bss_eval import FLEN, _next_pow2, bss_eval_sdr
-from .engine import _engine_bucket, _fused_packed_any
+from .bss_eval import FLEN, _next_pow2
+from .engine import _as_f32, _engine_bucket, _fused_packed_any, _score_pass
 from .fused import pack_pair
 
 
@@ -77,17 +78,6 @@ def _sharded_fused_fn(mesh, axis, nfft, flen, frame_len):
         body, mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec, P()),
         out_specs=spec, check_vma=False))
-
-
-def _as_f32(x, n):
-    # KEEP IN SYNC with engine.score_all_packed's as_f32 closure (same
-    # int16 dequant rule) -- the sharded path must stay row-identical to
-    # the single-chip engine (pinned by
-    # test_sharded_engine_matches_single_device)
-    arr = np.asarray(x[:n])
-    if arr.dtype == np.int16:
-        return arr.astype(np.float32) * np.float32(1.0 / 32768.0)
-    return np.asarray(arr, np.float32)
 
 
 def _pack_sharded(est_list, ref_list, idxs, lens, n_shards, pack_dtype,
@@ -151,7 +141,9 @@ def score_all_sharded(est_list, ref_list, mesh, axis=None, fs: int = 16000,
     pack_dtype = np.int16 if is_i16 else np.float32
     convert = None if is_i16 else _as_f32
 
-    # [nfft, row_idx (D, Bs), device args, pending (D, Bs), cache]
+    # [nfft, row_idx (D, Bs), device args, pending (D, Bs), cache] -- the
+    # same item shape engine._score_pass consumes, with one extra leading
+    # shard axis everywhere (dummy rows enter with pending=False)
     work = []
     for nfft, idxs in sorted(buckets.items()):
         e, r, off, lng, ridx = _pack_sharded(
@@ -161,48 +153,22 @@ def score_all_sharded(est_list, ref_list, mesh, axis=None, fs: int = 16000,
                 jnp.asarray(lng))
         work.append([nfft, ridx, args, ridx >= 0, None])
 
-    # first pass: all buckets dispatched before any fetch
-    first = [
-        (w, _sharded_bucket_fn(mesh, axis, w[0], flen, frame_len, fs,
-                               compute_pesq)(*w[2], jnp.float32(1e-7)))
-        for w in work
-    ]
-    for w, res in first:
-        w[4] = np.array(res)  # (D, Bs, 7)
-        newly = w[3] & np.isfinite(w[4][..., 0])
-        S[w[1][newly]] = w[4][newly][:, :6]
-        delays[w[1][newly]] = np.round(w[4][newly][:, 6]).astype(np.int64)
-        w[3] = w[3] & ~newly
+    # the engine's ladder (base ridge -> 1e-5 -> 1e-3 -> exact host SDR
+    # fallback), with the device dispatches routed through the shard_mapped
+    # SPMD programs -- commit/pending semantics are the engine's own code,
+    # so the sharded/engine parity holds by construction
+    def bucket_fn(w, ridge):
+        return _sharded_bucket_fn(mesh, axis, w[0], flen, frame_len, fs,
+                                  compute_pesq)(*w[2], jnp.float32(ridge))
 
-    # ridge escalation (fused family only), then exact host SDR fallback.
-    # KEEP IN SYNC with engine._score_pass's commit/pending ladder
-    # (1e-7 -> 1e-5 -> 1e-3 -> host bss_eval_sdr): a ladder change there
-    # must land here too or the sharded/engine parity test breaks.
-    for ridge in (1e-5, 1e-3):
-        pending = [
-            (w, _sharded_fused_fn(mesh, axis, w[0], flen, frame_len)(
-                *w[2], jnp.float32(ridge)))
-            for w in work if w[3].any()
-        ]
-        if not pending:
-            break
-        for w, res in pending:
-            w[4][..., :4] = np.asarray(res)
-            need = w[3]
-            newly = need & np.isfinite(w[4][..., 0])
-            S[w[1][newly]] = w[4][newly][:, :6]
-            delays[w[1][newly]] = np.round(
-                w[4][newly][:, 6]).astype(np.int64)
-            need &= ~newly
-            if need.any() and ridge == 1e-3:
-                S[w[1][need]] = w[4][need][:, :6]
-                delays[w[1][need]] = np.round(
-                    w[4][need][:, 6]).astype(np.int64)
-                for i in w[1][need]:
-                    est_i = _as_f32(est_list[int(i)], lens[i])
-                    ref_i = _as_f32(ref_list[int(i)], lens[i])
-                    S[i, 0] = bss_eval_sdr(est_i, ref_i, flen=flen)
-                need &= False
+    def fused_fn(w, ridge):
+        return _sharded_fused_fn(mesh, axis, w[0], flen, frame_len)(
+            *w[2], jnp.float32(ridge))
+
+    _score_pass(work, S, delays, flen, frame_len, fs, compute_pesq,
+                slice_fn=lambda i: (_as_f32(est_list[i], lens[i]),
+                                    _as_f32(ref_list[i], lens[i])),
+                commit_delay=True, bucket_fn=bucket_fn, fused_fn=fused_fn)
 
     if align == "guard":
         shifted = np.nonzero(delays != 0)[0]

@@ -61,12 +61,29 @@ def main():
     ap.add_argument("--snmf-max-iter", type=int, default=1000)
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=32)
-    ap.add_argument("--skip", default="", help="comma list of stage names")
+    ap.add_argument("--skip", default="",
+                    help="comma list of skippable stage names: train, "
+                         "enhance, snmf (corpus/featurize/tensorize are "
+                         "cache-idempotent and always run -- later stages "
+                         "need their outputs)")
     args = ap.parse_args()
     skip = set(s for s in args.skip.split(",") if s)
+    unknown = skip - {"train", "enhance", "snmf"}
+    if unknown:
+        ap.error(f"--skip: not skippable: {sorted(unknown)} "
+                 "(only train, enhance, snmf)")
 
     global WORKDIR
-    WORKDIR = os.path.join(WORKDIR, f"files{args.files}_r{args.r}")
+    # scale key: every knob that changes a cached artifact is in the dir
+    # name; defaults collapse to the historical files<N>_r<R> path so
+    # existing measurements stay resumable
+    key = f"files{args.files}_r{args.r}"
+    for flag, short in (("valid_files", "v"), ("epochs", "e"),
+                        ("batch_size", "b")):
+        val = getattr(args, flag)
+        if val != ap.get_default(flag):
+            key += f"_{short}{val}"
+    WORKDIR = os.path.join(WORKDIR, key)
     os.makedirs(WORKDIR, exist_ok=True)
     report_path = os.path.join(WORKDIR, "shakeout.json")
     report = {"files": args.files, "stages": {}}
@@ -90,7 +107,12 @@ def main():
             def __exit__(self, et, ev, tb):
                 wall = time.monotonic() - self.t0
                 cur = report["stages"][name]
-                if wall >= cur.get("wall_s", 0.0):
+                if et is not None:
+                    # crashed/interrupted attempt: its wall is NOT the
+                    # stage measurement (the resumed completion is) --
+                    # record it separately and let the exception propagate
+                    cur["failed_attempt_s"] = round(wall, 1)
+                elif wall >= cur.get("wall_s", 0.0):
                     cur.update({"wall_s": round(wall, 1),
                                 "rss_gb": round(_rss_gb(), 2)})
                 else:  # cache replay of a stage measured for real before
