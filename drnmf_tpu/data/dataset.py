@@ -54,24 +54,35 @@ def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False)
     window = jnp.asarray(np.asarray(window, np.float32))
     f_bins = n_fft // 2 + 1
 
-    signals = []
+    wavfiles = list(wavfiles)
     nframes = []
+    lengths = []
     use_native = False
     if nch == 1:
         from .native_loader import native_available
 
         use_native = native_available()
     if use_native:
-        from .native_loader import read_batch
+        # header-only pass for lengths/bucketing; the audio itself is
+        # decoded per batch chunk below, bounding peak host memory to one
+        # chunk (a whole-corpus decode is (n_files, max_len) float32 --
+        # ~7 GB at the 7k-file full-scale regime, an OOM risk on top of
+        # the output stack)
+        from .native_loader import read_batch, wav_info
 
-        data, lengths = read_batch(list(wavfiles))
-        for i in range(len(wavfiles)):
-            signals.append(data[i : i + 1, : lengths[i]])
-            nframes.append(n_frames_for_length(int(lengths[i]), n_fft, hop))
+        signals = None
+        for wf in wavfiles:
+            nsampl, _, _ = wav_info(wf)
+            lengths.append(int(nsampl))
+            nframes.append(n_frames_for_length(int(nsampl), n_fft, hop))
     else:
+        # scipy fallback (multichannel or no native lib): scipy has no
+        # header-only read, so decode up front as before
+        signals = []
         for wf in wavfiles:
             x = wavread(wf)[:nch]  # (nch, nsampl)
             signals.append(x)
+            lengths.append(x.shape[1])
             nframes.append(n_frames_for_length(x.shape[1], n_fft, hop))
 
     total = int(np.sum(nframes))
@@ -80,8 +91,8 @@ def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False)
 
     # group files by bucketed length; one device batch per bucket
     buckets = {}
-    for i, x in enumerate(signals):
-        buckets.setdefault(_bucket_total(x.shape[1], n_fft, hop), []).append(i)
+    for i, length in enumerate(lengths):
+        buckets.setdefault(_bucket_total(length, n_fft, hop), []).append(i)
 
     cursor = 0
     for i, nf in enumerate(nframes):
@@ -106,15 +117,22 @@ def compute_stfts(wavfiles, params_stft, verbose=False, flag_unwrap_phase=False)
             b = min(feat_batch, 1 << (remaining.bit_length() - 1))
             chunk = idxs[pos : pos + b]
             batch = np.zeros((b, nch, total_len), np.float32)
-            for row, i in enumerate(chunk):
-                # reference padding = n_fft zeros left + zeros to the
-                # bucket right (pad_signal semantics) -- the batch is
-                # already zeros, so this is a pure host slice-assign.
-                # (Calling the jnp pad_signal here cost TWO tunnel
-                # round-trips PER FILE: hours at 7k-file corpus scale --
-                # the round-5 shakeout's featurize wall.)
-                x = np.asarray(signals[i], np.float32)
-                batch[row, :, n_fft : n_fft + x.shape[-1]] = x
+            # reference padding = n_fft zeros left + zeros to the bucket
+            # right (pad_signal semantics) -- the batch is already zeros,
+            # so these are pure host slice-assigns.  (Calling the jnp
+            # pad_signal here cost TWO tunnel round-trips PER FILE: hours
+            # at 7k-file corpus scale -- the round-5 shakeout's featurize
+            # wall.)
+            if use_native:
+                # decode just this chunk's files (parallel C++ decoder)
+                cdata, clens = read_batch([wavfiles[i] for i in chunk])
+                for row in range(len(chunk)):
+                    n = int(clens[row])
+                    batch[row, 0, n_fft : n_fft + n] = cdata[row, :n]
+            else:
+                for row, i in enumerate(chunk):
+                    x = np.asarray(signals[i], np.float32)
+                    batch[row, :, n_fft : n_fft + x.shape[-1]] = x
             dev = stft_frames(jnp.asarray(batch), window, n_fft, hop)
             if flag_unwrap_phase:
                 from ..dsp.phase import remove_hop_phase
@@ -215,10 +233,15 @@ class AudioDataset:
                         "hop": int(self.params_stft["hop"]),
                         "nch": int(self.params_stft.get("nch", 1)),
                         "unwrap": int(bool(self.flag_unwrap_phase)),
+                        "downsample": int(self.downsample),
                     }
                     for key, want in want_by_key.items():
-                        default = 0 if key == "unwrap" else -1
-                        cached = int(f["stft"].attrs.get(key, default))
+                        if key not in f["stft"].attrs:
+                            if key in ("unwrap", "downsample"):
+                                continue  # legacy cache predating the attr
+                            cached = -1
+                        else:
+                            cached = int(f["stft"].attrs[key])
                         if cached != want:
                             raise ValueError(
                                 f"datafile {datafile} was built with "
@@ -235,6 +258,23 @@ class AudioDataset:
                 self.y_wavfiles = [
                     s.decode() if isinstance(s, bytes) else s for s in f["y_wavfiles"][:]
                 ]
+            # the file LISTS are the ground truth for what the cache holds:
+            # when the taskfiles are reachable, the downsampled selection
+            # must match what was cached (catches a cache built from
+            # different taskfiles -- or a different downsample predating
+            # the attr -- reused under the same datafile name)
+            try:
+                want_x = _read_taskfile(self.taskfile_input)[:: self.downsample]
+            except (OSError, TypeError):
+                want_x = None  # cache restored where taskfiles don't exist
+            if want_x is not None and want_x != self.x_wavfiles:
+                raise ValueError(
+                    f"datafile {datafile} holds {len(self.x_wavfiles)} "
+                    f"files that do not match the {len(want_x)} selected "
+                    f"by {self.taskfile_input} at downsample="
+                    f"{self.downsample}; delete the cache or use a "
+                    "different datafile name"
+                )
             return
 
         x_wavfiles = _read_taskfile(self.taskfile_input)[:: self.downsample]
@@ -269,6 +309,7 @@ class AudioDataset:
                 grp.attrs["hop"] = int(self.params_stft["hop"])
                 grp.attrs["nch"] = int(self.params_stft.get("nch", 1))
                 grp.attrs["unwrap"] = int(bool(self.flag_unwrap_phase))
+                grp.attrs["downsample"] = int(self.downsample)
 
     # -- reconstruction ----------------------------------------------------
 
@@ -315,12 +356,33 @@ class AudioDataset:
             fs = self.fs
         if idx is None:
             idx = list(range(len(self.x_wavfiles)))
+        if irm is not None and mask is not None and \
+                len(irm) != len(self.x_wavfiles):
+            # sequence row j must BE utterance j: tensors built with maxlen
+            # chunking have n_seq > n_files and would silently mask the
+            # wrong files (the reference had the same implicit contract --
+            # audio_dataset.py:294-339 -- but never exposed maxlen here)
+            raise ValueError(
+                f"irm has {len(irm)} sequence rows but the corpus has "
+                f"{len(self.x_wavfiles)} files; tensors built with maxlen "
+                "chunking cannot drive reconstruction -- rebuild them with "
+                "maxlen=None (one full-length row per wav file, as "
+                "pipeline.reconstruct_split does)"
+            )
         if isinstance(idx, (list, tuple, np.ndarray)):
             results = []
             for j in idx:
                 m = None
                 if irm is not None and mask is not None:
                     m = irm[j, : int(np.sum(mask[j])), :].T
+                    nf = int(self.fidx[j, 1] - self.fidx[j, 0])
+                    if m.shape[1] != nf:
+                        raise ValueError(
+                            f"mask row {j} covers {m.shape[1]} frames but "
+                            f"utterance {j} has {nf}: the tensors were "
+                            "built with a truncating maxlen; rebuild with "
+                            "maxlen=None for reconstruction"
+                        )
                 yest = self.reconstruct_x(j, mask=m)
                 if test:
                     x = wavread(self.x_wavfiles[j])[0:1]

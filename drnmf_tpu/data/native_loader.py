@@ -14,6 +14,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libdrnmfio.so"))
 
 _lib = None
+_lib_failed = False  # stale .so detected: don't re-warn on every call
 
 
 def ensure_built(quiet=True):
@@ -34,12 +35,28 @@ def ensure_built(quiet=True):
 
 
 def get_lib():
-    global _lib
+    global _lib, _lib_failed
     if _lib is not None:
         return _lib
-    if not ensure_built():
+    if _lib_failed or not ensure_built():
         return None
     lib = ctypes.CDLL(_SO_PATH)
+    try:
+        _bind(lib)
+    except AttributeError as e:
+        # a prebuilt .so from older sources (no toolchain to freshen it):
+        # missing BASE symbols mean the library is unusable -- report it
+        # unavailable so callers take the scipy fallback path the module
+        # docstring promises, instead of crashing mid-featurization
+        print(f"WARNING: stale libdrnmfio.so ({e}); using the scipy wav "
+              "reader (rebuild native/)", flush=True)
+        _lib_failed = True
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib):
     lib.wav_info.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int64),
@@ -88,8 +105,6 @@ def get_lib():
             ctypes.c_int32,
         ]
         lib.wav_read_batch_i16.restype = ctypes.c_int
-    _lib = lib
-    return lib
 
 
 def native_available() -> bool:

@@ -481,20 +481,27 @@ def _scan_hidden(params: dict, config: DRNMFConfig, x: jnp.ndarray,
     h_init = jnp.broadcast_to(h0[None, :], (bsz, config.hidden_dim))
 
     if config.use_pallas and plain:
-        from ..ops.pallas import drnmf_scan_pallas
+        from ..ops.pallas import drnmf_scan_pallas, pallas_scan_supported
 
         n2r = config.hidden_dim
         wdt = (jnp.bfloat16 if config.pallas_weights_dtype == "bfloat16"
                else jnp.float32)
-        s_stack = (
-            jnp.stack(S) if S else jnp.zeros((1, n2r, n2r), jnp.float32)
-        )
-        return drnmf_scan_pallas(
-            x, step_mask, h_init,
-            U[0].astype(wdt), (U[1] if K > 1 else jnp.zeros_like(U[0])).astype(wdt),
-            s_stack.astype(wdt), jnp.stack(W).astype(wdt), jnp.stack(b),
-            interpret=config.pallas_interpret,
-        )
+        # VMEM feasibility gate (documented in drnmf_scan.py): an oversize
+        # weight stack falls back to the XLA scan below instead of failing
+        # in the Mosaic compiler.  Interpret mode (CPU tests) has no VMEM.
+        if config.pallas_interpret or pallas_scan_supported(
+                K, n2r, x.shape[-1], bsz,
+                dtype_bytes=2 if wdt == jnp.bfloat16 else 4):
+            s_stack = (
+                jnp.stack(S) if S else jnp.zeros((1, n2r, n2r), jnp.float32)
+            )
+            return drnmf_scan_pallas(
+                x, step_mask, h_init,
+                U[0].astype(wdt),
+                (U[1] if K > 1 else jnp.zeros_like(U[0])).astype(wdt),
+                s_stack.astype(wdt), jnp.stack(W).astype(wdt), jnp.stack(b),
+                interpret=config.pallas_interpret,
+            )
 
     xT = jnp.swapaxes(x, 0, 1)  # (T, B, F)
     mT = jnp.swapaxes(step_mask, 0, 1)  # (T, B)

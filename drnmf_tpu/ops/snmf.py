@@ -222,6 +222,11 @@ def _prepare(v_shape, params: SNMFParams, key):
                 axis=1,
             )
         else:
+            # init_w wider than params.r: adopt r = ri, like the reference
+            # (sparse_nmf_gpu.m:125-135 sets r to size(init_w, 2)) -- h0
+            # and the default update masks below must match the adopted
+            # width or the solve fails on a shape mismatch
+            r = ri
             w0 = jnp.asarray(params.init_w, jnp.float32)
     else:
         w0 = jax.random.uniform(kw, (m, r), jnp.float32)
@@ -322,6 +327,10 @@ def sparse_nmf_chunked(
     v = np.asarray(v)
     m, n = v.shape
     r = int(params.r)
+    if params.init_w is not None and params.init_w.shape[1] > r:
+        # _prepare adopts r = init_w width (sparse_nmf_gpu.m:125-135); the
+        # chunk driver's H buffer and chunk sizing must match
+        r = int(params.init_w.shape[1])
     if frame_chunk is None:
         frame_chunk = default_frame_chunk(r)
     n_chunks = max(1, -(-n // frame_chunk))

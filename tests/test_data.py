@@ -295,3 +295,66 @@ def test_datafile_cache_validates_stft_params(tmp_path, rng):
     with pytest.raises(ValueError, match="was built with"):
         AudioDataset(tf["noisy"], tf["clean"], datafile=datafile,
                      params_stft={"N": 512, "hop": 128, "nch": 1})
+
+
+def test_datafile_cache_validates_downsample_and_lists(tmp_path):
+    """A cache built at one downsample (or from other taskfiles) must not
+    be silently reused: both the stored attr and the cached wavfile lists
+    are checked against the requested selection."""
+    from drnmf_tpu.data import AudioDataset, make_synthetic_corpus
+    import pytest
+
+    tf = make_synthetic_corpus(str(tmp_path / "a"), n_files=4,
+                               min_sec=0.3, max_sec=0.4)
+    stft = {"N": 256, "hop": 64, "nch": 1}
+    datafile = str(tmp_path / "cache.hdf5")
+    AudioDataset(tf["noisy"], tf["clean"], datafile=datafile,
+                 params_stft=stft, downsample=1)
+    # same datafile, different downsample -> hard error, not a silent
+    # full-corpus load posing as the downsampled one
+    with pytest.raises(ValueError, match="downsample"):
+        AudioDataset(tf["noisy"], tf["clean"], datafile=datafile,
+                     params_stft=stft, downsample=2)
+    # different taskfile content under the same datafile name -> error
+    tf2 = make_synthetic_corpus(str(tmp_path / "b"), n_files=4,
+                                min_sec=0.3, max_sec=0.4)
+    with pytest.raises(ValueError, match="do not match"):
+        AudioDataset(tf2["noisy"], tf2["clean"], datafile=datafile,
+                     params_stft=stft, downsample=1)
+    # the matching setup still cache-hits
+    d = AudioDataset(tf["noisy"], tf["clean"], datafile=datafile,
+                     params_stft=stft, downsample=1)
+    assert len(d.x_wavfiles) == 4
+
+
+def test_reconstruct_audio_rejects_chunked_tensors(dataset):
+    """Tensors built with a truncating maxlen (n_seq > n_files) silently
+    mapped masks to the wrong files in the reference; here it is a hard
+    error directing the caller to maxlen=None rows."""
+    import pytest
+
+    x, y, mask = dataset.get_padded_data_matrix(maxlen=4)
+    assert x.shape[0] > len(dataset.x_wavfiles)  # chunked: more rows
+    irm = np.ones(x.shape, np.float32)
+    with pytest.raises(ValueError, match="maxlen"):
+        dataset.reconstruct_audio("chunked", irm=irm,
+                                  mask=(mask != 0).astype(np.float32))
+
+
+def test_native_loader_stale_so_falls_back(monkeypatch):
+    """A dlopen'd library missing base symbols (stale prebuilt .so, no
+    toolchain to freshen it) must report unavailable -> scipy fallback,
+    not crash mid-featurization."""
+    from drnmf_tpu.data import native_loader as nl
+
+    class _NoSymbols:
+        def __getattr__(self, name):  # every symbol lookup fails
+            raise AttributeError(name)
+
+    monkeypatch.setattr(nl, "_lib", None)
+    monkeypatch.setattr(nl, "_lib_failed", False)
+    monkeypatch.setattr(nl.ctypes, "CDLL", lambda path: _NoSymbols())
+    monkeypatch.setattr(nl, "ensure_built", lambda quiet=True: True)
+    assert nl.get_lib() is None
+    assert nl.native_available() is False
+    assert nl._lib_failed is True  # sentinel set: no retry/warn spam

@@ -257,3 +257,30 @@ def test_factored_pallas_interleaved_matches(rng):
     inter = np.asarray(drnmf_scan_pallas_factored(*args, interpret=True,
                                                   interleave=True))
     np.testing.assert_allclose(inter, plain, rtol=1e-6, atol=1e-6)
+
+
+def test_vmem_gate_falls_back_to_xla_scan(rng, monkeypatch):
+    """use_pallas with a weight stack that fails the VMEM feasibility check
+    must fall back to the XLA scan (identical outputs) instead of launching
+    a kernel the Mosaic compiler would reject."""
+    import drnmf_tpu.ops.pallas as plmod
+
+    f, r, T, B = 24, 4, 9, 2
+    base = dict(input_dim=f, r=r, output_dim=f, K_layers=2,
+                alph=10.0, lam1=0.3)
+    cfg_xla = DRNMFConfig(**base)
+    cfg_pl = DRNMFConfig(**base, use_pallas=True)  # no interpret: real gate
+    params = init_drnmf_params(cfg_xla, make_dict(rng, f, 2 * r))
+    x = rng.uniform(0.0, 2.0, (B, T, f)).astype(np.float32)
+    ref = np.asarray(drnmf_apply(params, cfg_xla, x))
+
+    monkeypatch.setattr(plmod, "pallas_scan_supported",
+                        lambda *a, **k: False)
+
+    def _boom(*a, **k):
+        raise AssertionError("pallas kernel launched despite failing the "
+                             "VMEM gate")
+
+    monkeypatch.setattr(plmod, "drnmf_scan_pallas", _boom)
+    out = np.asarray(drnmf_apply(params, cfg_pl, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)

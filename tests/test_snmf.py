@@ -259,3 +259,21 @@ def test_snmf_degenerate_shapes(rng):
 
     res_kl = sparse_nmf(v1, SNMFParams(r=2, cf="kl", sparsity=0.0, max_iter=5))
     assert np.all(np.isfinite(res_kl.cost))
+
+
+def test_wider_init_w_adopts_its_rank(rng):
+    """init_w with MORE than r columns adopts r = init_w width, like the
+    reference (sparse_nmf_gpu.m:125-135 sets r to size(init_w, 2)) -- the
+    SNMF-only enhancement path solves H against a full 2r dictionary."""
+    v, w0, h0 = _rand_problem(rng, r=6)  # w0 is (12, 6)
+    params = SNMFParams(r=3, cf="ed", sparsity=0.1, max_iter=10, init_w=w0)
+    res = sparse_nmf(v, params)
+    assert res.w.shape == (12, 6)
+    assert res.h.shape == (6, v.shape[1])
+    assert np.all(np.isfinite(res.cost))
+    assert res.cost[-1] < res.cost[0]
+
+    # the chunk driver sizes its H buffer to the adopted rank too
+    res_c = sparse_nmf_chunked(v, params, frame_chunk=16, verbose=False)
+    assert res_c.w.shape == (12, 6)
+    assert res_c.h.shape == (6, v.shape[1])
