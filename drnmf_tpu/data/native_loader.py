@@ -10,7 +10,13 @@ import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+# Source checkout layout: <repo>/native next to the package.  Installed
+# wheels don't ship the C++ source; point DRNMF_NATIVE_DIR at a checkout's
+# native/ (or any dir with the Makefile/prebuilt .so) to keep the fast path.
+_NATIVE_DIR = os.environ.get(
+    "DRNMF_NATIVE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"),
+)
 _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libdrnmfio.so"))
 
 _lib = None
